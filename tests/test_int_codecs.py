@@ -1,0 +1,172 @@
+"""Round-trip + boundary + ratio tests for the integer codec kernels.
+
+Mirrors the reference's per-codec suites (reference src/varintDeltaTest.c,
+src/varintFORTest.c, src/varintPFORTest.c, src/varintDictTest.c,
+src/varintCompare.c mass round-trip)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from varint_spark.codecs import bitpack, delta, dict_codec, foref, leb128, pfor, plain, rle, varint, zigzag
+
+from fixtures import INT_FIXTURES, empty_and_single
+
+INT_CODECS = {
+    "plain": (plain.encode_int, plain.decode_int),
+    "varint": (varint.encode, varint.decode),
+    "delta": (delta.encode, delta.decode),
+    "for": (foref.encode, foref.decode),
+    "pfor": (pfor.encode, pfor.decode),
+    "rle": (rle.encode, rle.decode),
+    "dict": (dict_codec.encode, dict_codec.decode),
+}
+
+
+# ---- leb128 kernel ----------------------------------------------------------
+
+def test_leb128_boundaries():
+    vals = [0, 1]
+    for k in range(1, 10):
+        b = 1 << (7 * k)
+        vals += [b - 1, b, b + 1]
+    vals += [2**64 - 1, 2**63, 2**63 - 1]
+    v = np.array(vals, dtype=np.uint64)
+    buf = leb128.encode(v)
+    np.testing.assert_array_equal(leb128.decode(buf, len(v)), v)
+    # canonical sizes: 2^(7k) needs k+1 bytes, 2^(7k)-1 needs k
+    sizes = leb128.encoded_sizes(v)
+    assert sizes[0] == 1 and sizes[1] == 1
+    for i, k in enumerate(range(1, 10)):
+        lo, hi = sizes[2 + 3 * i], sizes[2 + 3 * i + 1]
+        assert lo == k and hi == k + 1, (k, lo, hi)
+    assert sizes[-3] == 10  # 2^64-1
+    assert sizes[-2] == 10  # 2^63
+    assert sizes[-1] == 9   # 2^63-1
+
+
+def test_leb128_random_mass():
+    rng = np.random.default_rng(7)
+    raw = rng.integers(0, 2**63, size=200_000, dtype=np.uint64)
+    nbits = rng.integers(0, 65, size=200_000)
+    mask = np.where(nbits >= 64, np.uint64(2**64 - 1), (np.uint64(1) << np.minimum(nbits, 63).astype(np.uint64)) - np.uint64(1))
+    v = raw & mask
+    buf = leb128.encode(v)
+    assert len(buf) == int(leb128.encoded_sizes(v).sum())
+    np.testing.assert_array_equal(leb128.decode(buf, len(v)), v)
+
+
+def test_leb128_empty():
+    assert leb128.encode(np.empty(0, dtype=np.uint64)) == b""
+    assert len(leb128.decode(b"")) == 0
+
+
+def test_leb128_interop_stdlib():
+    """Cross-check against a trivial per-value python reference encoder."""
+    def py_leb(x: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = x & 0x7F
+            x >>= 7
+            if x:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    vals = [0, 1, 127, 128, 300, 2**32, 2**64 - 1]
+    expect = b"".join(py_leb(x) for x in vals)
+    got = leb128.encode(np.array(vals, dtype=np.uint64))
+    assert got == expect
+
+
+def test_zigzag():
+    v = np.array([0, -1, 1, -2, 2, 2**62, -(2**62), 2**63 - 1, -(2**63)], dtype=np.int64)
+    u = zigzag.encode(v)
+    assert list(u[:5]) == [0, 1, 2, 3, 4]
+    np.testing.assert_array_equal(zigzag.decode(u), v)
+
+
+@pytest.mark.parametrize("width", [0, 1, 3, 7, 8, 13, 31, 32, 33, 63, 64])
+def test_bitpack_roundtrip(width):
+    rng = np.random.default_rng(width)
+    n = 1001
+    if width == 0:
+        v = np.zeros(n, dtype=np.uint64)
+    elif width == 64:
+        v = rng.integers(0, 2**63, size=n, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    else:
+        v = rng.integers(0, 2**width, size=n, dtype=np.uint64)
+    buf = bitpack.pack(v, width)
+    assert len(buf) == bitpack.packed_size(n, width)
+    np.testing.assert_array_equal(bitpack.unpack(buf, width, n), v)
+
+
+@pytest.mark.parametrize("n", [1, 127, 128, 129, 255, 256, 1000])
+def test_bitpack_block_boundary_sizes(n):
+    rng = np.random.default_rng(n)
+    v = rng.integers(0, 2**20, size=n, dtype=np.uint64)
+    np.testing.assert_array_equal(bitpack.unpack(bitpack.pack(v, 20), 20, n), v)
+
+
+# ---- all codecs × all fixtures round-trip ------------------------------------
+
+@pytest.mark.parametrize("codec", list(INT_CODECS))
+@pytest.mark.parametrize("fixture", list(INT_FIXTURES))
+def test_roundtrip(codec, fixture):
+    enc, dec = INT_CODECS[codec]
+    v = INT_FIXTURES[fixture]()
+    out = dec(enc(v), len(v))
+    np.testing.assert_array_equal(out, v)
+    assert out.dtype == np.int64
+
+
+@pytest.mark.parametrize("codec", list(INT_CODECS))
+def test_empty_and_single(codec):
+    enc, dec = INT_CODECS[codec]
+    for v in empty_and_single():
+        np.testing.assert_array_equal(dec(enc(v), len(v)), v)
+
+
+# ---- compression-ratio floors (ref src/varintDeltaTest.c:143-148,
+#      src/varintAdaptiveTest.c:301-306) ---------------------------------------
+
+def test_delta_ratio_sorted_timestamps():
+    # µs-resolution: deltas ≤ 60e6 → ≤4B zigzag-leb128 → ≥1.9× (ref asserts ≥2.0×
+    # at second resolution, src/varintAdaptiveTest.c:301-306 — checked below)
+    v = INT_FIXTURES["sorted_timestamps"]()
+    assert len(delta.encode(v)) < v.nbytes / 1.9
+    secs = v // 1_000_000  # second resolution: deltas 1-60 → 1 byte each → ~8×
+    assert len(delta.encode(secs)) < secs.nbytes / 6
+
+
+def test_for_ratio_tight_cluster():
+    v = INT_FIXTURES["tight_cluster"]()
+    assert len(foref.encode(v)) < 0.13 * v.nbytes  # 8-bit offsets vs 64-bit raw ≈ 8×
+
+
+def test_pfor_beats_for_on_outliers():
+    v = INT_FIXTURES["cluster_with_outliers"]()
+    assert len(pfor.encode(v)) < len(foref.encode(v)) * 0.5
+
+
+def test_dict_ratio_high_repetition():
+    v = INT_FIXTURES["high_repetition"]()
+    assert len(dict_codec.encode(v)) < 0.1 * v.nbytes
+
+
+def test_rle_ratio_long_runs():
+    v = INT_FIXTURES["long_runs"]()
+    assert len(rle.encode(v)) < 0.05 * v.nbytes
+
+
+def test_analytic_sizes_match():
+    for name, fn in INT_FIXTURES.items():
+        v = fn()
+        assert varint.encoded_size(v) == len(varint.encode(v)), name
+        assert delta.encoded_size(v) == len(delta.encode(v)), name
+        if len(v):
+            assert foref.encoded_size(v) == len(foref.encode(v)), name
+            assert rle.encoded_size(v) == len(rle.encode(v)), name
+            assert dict_codec.encoded_size(v) == len(dict_codec.encode(v)), name

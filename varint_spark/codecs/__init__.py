@@ -1,0 +1,10 @@
+"""Pure-numpy codec kernels. Every kernel is ``encode(np.ndarray) -> bytes``
+and ``decode(buf, count) -> np.ndarray`` with bit-identical round-trips.
+
+No per-row Python: encode builds byte planes / bit matrices; decode
+segments streams with flatnonzero/reduceat — the numpy analog of the
+reference's SIMD kernels (reference src/varintFOR.c:245-596,
+src/varintBP128.c:8-60).
+"""
+
+from . import bitpack, blocks, delta, dict_codec, foref, leb128, pfor, plain, rle, varint, zigzag  # noqa: F401

@@ -1,0 +1,52 @@
+"""Fixed-bit-width packing of uint64 arrays (any width 0..64).
+
+The numpy analog of the reference's bit-packing template
+(reference src/varintPacked.h:12-99) and the BP128 block packer
+(src/varintBP128.c:102-132): ``np.packbits``/``np.unpackbits`` in
+little-endian bit order play the role of the SIMD kernels.
+
+Width 0 is valid and encodes an all-zeros array with an empty payload
+(used by FOR when every value equals the frame minimum).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def bits_needed(max_value: int) -> int:
+    """Minimal bit width for values in [0, max_value] — the numpy analog of
+    varintBP128BitsNeeded (reference src/varintBP128.h:132-154)."""
+    return int(max_value).bit_length()
+
+
+def pack(values: np.ndarray, width: int) -> bytes:
+    """Pack each value into ``width`` bits, little-endian bit order."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0 or width == 0:
+        return b""
+    if width > 64:
+        raise ValueError(f"width {width} > 64")
+    # (n, width) bit matrix -> flat little-endian bitstream.
+    shifts = np.arange(width, dtype=np.uint64)
+    bits = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+
+
+def unpack(buf: bytes | np.ndarray, width: int, count: int) -> np.ndarray:
+    """Inverse of :func:`pack`; returns uint64 array of length ``count``."""
+    if count == 0 or width == 0:
+        return np.zeros(count, dtype=np.uint64)
+    b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    need = (count * width + 7) // 8
+    if len(b) < need:
+        raise ValueError(f"bitpack buffer too short: {len(b)} < {need}")
+    bits = np.unpackbits(b[:need], count=count * width, bitorder="little")
+    bits = bits.reshape(count, width).astype(np.uint64)
+    shifts = np.arange(width, dtype=np.uint64)
+    return (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+def packed_size(count: int, width: int) -> int:
+    return (count * width + 7) // 8

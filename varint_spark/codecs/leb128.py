@@ -1,0 +1,86 @@
+"""Vectorized LEB128 (unsigned varint) encode/decode over uint64 arrays.
+
+This is the integer backbone of the engine — the same wire format as the
+reference's "chained" codec (continuation-bit varint, 7 payload bits per
+byte; format documented at reference src/varintChained.c:38-54 and
+src/varintChainedSimple.c:5-37).  Unlike the reference (per-value C loops)
+the kernels here are fully vectorized numpy: encode builds at most 10 byte
+planes with fancy indexing; decode segments the byte stream on terminal
+bytes and reduces per-value with ``np.bitwise_or.reduceat``.
+
+Values >= 2**63 use a 10th byte (only low bit meaningful), matching the
+canonical unsigned-LEB128 encoding of 64-bit integers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+_MASK7 = _U64(0x7F)
+_CONT = np.uint8(0x80)
+
+# Byte-count thresholds: a value needs k+1 bytes iff v >= 2**(7k).
+_THRESHOLDS = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
+
+
+def encoded_sizes(values: np.ndarray) -> np.ndarray:
+    """Per-value encoded byte counts (1..10) — also the reference-faithful
+    'varint stream size' cost model used by the selector's cost gate."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    # nbytes = 1 + sum_k [v >= 2^(7k)]   (k = 1..9)
+    nbytes = np.ones(len(v), dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += (v >= t).astype(np.int64)
+    return nbytes
+
+
+def encode(values: np.ndarray) -> bytes:
+    """uint64 array -> LEB128 byte stream."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    nbytes = encoded_sizes(v)
+    offsets = np.empty(n, dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(nbytes[:-1], out=offsets[1:])
+    total = int(offsets[-1] + nbytes[-1])
+    out = np.empty(total, dtype=np.uint8)
+    maxb = int(nbytes.max())
+    for j in range(maxb):
+        mask = nbytes > j
+        vals = (v[mask] >> _U64(7 * j)) & _MASK7
+        byte = vals.astype(np.uint8)
+        cont = nbytes[mask] > (j + 1)
+        byte[cont] |= _CONT
+        out[offsets[mask] + j] = byte
+    return out.tobytes()
+
+
+def decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarray:
+    """LEB128 byte stream -> uint64 array.
+
+    ``count`` (if given) is validated against the number of terminal bytes.
+    """
+    b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if len(b) == 0:
+        if count:
+            raise ValueError(f"expected {count} values, got empty buffer")
+        return np.empty(0, dtype=np.uint64)
+    is_term = (b & _CONT) == 0
+    n_vals = int(np.count_nonzero(is_term))
+    if count is not None and n_vals != count:
+        raise ValueError(f"expected {count} values, found {n_vals} terminal bytes")
+    if not is_term[-1]:
+        raise ValueError("truncated LEB128 stream (no terminal byte at end)")
+    # Value index of every byte: 0-based, increments after each terminal byte.
+    vidx = np.empty(len(b), dtype=np.int64)
+    vidx[0] = 0
+    np.cumsum(is_term[:-1], out=vidx[1:])
+    starts = np.flatnonzero(np.diff(vidx, prepend=-1))
+    pos_in_val = np.arange(len(b), dtype=np.int64) - starts[vidx]
+    if int(pos_in_val.max()) > 9:
+        raise ValueError("LEB128 value longer than 10 bytes")
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << pos_in_val.astype(np.uint64) * _U64(7)
+    return np.bitwise_or.reduceat(contrib, starts)
