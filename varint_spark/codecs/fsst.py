@@ -1,0 +1,136 @@
+"""FSST-style static symbol-table compression for UTF-8 byte corpora.
+
+Fills the reference's string gap (the reference compresses integers only —
+SURVEY §1.3): a per-chunk learned symbol table maps frequent byte pairs to
+single code bytes, in the spirit of FSST (Boncz, Neumann, Leis — "FSST:
+Fast Random Access String Compression", VLDB 2020) and byte-pair encoding
+(Gage 1994). Everything is vectorized numpy — no per-byte Python.
+
+Design (differs from full FSST for vectorizability):
+
+* symbols are byte *pairs*; multiple rounds give longer effective symbols
+  (a round-2 symbol expands to up to 4 original bytes, etc.),
+* symbol codes are byte values **unused in the corpus**, so literals pass
+  through unchanged and no escape byte is ever needed — decode is a pure
+  table expansion,
+* greedy non-overlapping pair matching is resolved vectorized: within each
+  maximal run of consecutive matches, keep every other match starting at
+  the run head.
+
+Serialized table: ``[n_rounds:1] ( [n_syms:1][codes: n_syms][pairs: 2*n_syms] )*``
+followed by the compressed corpus. Decode expands rounds in reverse.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_ROUNDS = 3
+MIN_PAIR_COUNT = 4  # a pair must save at least ~4 bytes to earn a code
+
+
+def _match_mask(corpus: np.ndarray, sym_lookup: np.ndarray) -> np.ndarray:
+    """Boolean mask of positions starting a kept (non-overlapping) symbol."""
+    pairs = corpus[:-1].astype(np.int32) * 256 + corpus[1:].astype(np.int32)
+    m = sym_lookup[pairs] >= 0
+    if not m.any():
+        return np.zeros(len(corpus), dtype=bool)
+    idx = np.arange(len(m), dtype=np.int64)
+    prev = np.concatenate([[False], m[:-1]])
+    is_run_start = m & ~prev
+    run_start = np.maximum.accumulate(np.where(is_run_start, idx, -1))
+    keep = m & (((idx - run_start) & 1) == 0)
+    return np.concatenate([keep, [False]])
+
+
+def _compress_round(corpus: np.ndarray, free_codes: np.ndarray, max_syms: int):
+    """One BPE round. Returns (codes, pairs, new_corpus) or None if no gain."""
+    if len(corpus) < 2 or len(free_codes) == 0:
+        return None
+    pairs = corpus[:-1].astype(np.int32) * 256 + corpus[1:].astype(np.int32)
+    counts = np.bincount(pairs, minlength=65536)
+    n_syms = min(max_syms, len(free_codes), int((counts >= MIN_PAIR_COUNT).sum()))
+    if n_syms == 0:
+        return None
+    top = np.argpartition(counts, -n_syms)[-n_syms:]
+    top = top[counts[top] >= MIN_PAIR_COUNT]
+    if len(top) == 0:
+        return None
+    sym_lookup = np.full(65536, -1, dtype=np.int32)
+    sym_lookup[top] = np.arange(len(top), dtype=np.int32)
+    keep = _match_mask(corpus, sym_lookup)
+    covered_second = np.concatenate([[False], keep[:-1]])
+    out_sizes = np.where(keep, 1, np.where(covered_second, 0, 1)).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(out_sizes[:-1])])
+    total = int(out_sizes.sum())
+    if total + 3 * len(top) + 2 >= len(corpus):  # not worth the table bytes
+        return None
+    codes = free_codes[: len(top)].astype(np.uint8)
+    out = np.empty(total, dtype=np.uint8)
+    kept_pairs = pairs[keep[:-1]] if len(corpus) > 1 else pairs[:0]
+    out[offsets[keep]] = codes[sym_lookup[kept_pairs]]
+    lit = ~keep & ~covered_second
+    out[offsets[lit]] = corpus[lit]
+    sym_pairs = np.empty((len(top), 2), dtype=np.uint8)
+    sym_pairs[:, 0] = top // 256
+    sym_pairs[:, 1] = top % 256
+    return codes, sym_pairs, out
+
+
+def compress(corpus: np.ndarray) -> bytes | None:
+    """uint8 corpus -> serialized (table + compressed bytes), or None when
+    the corpus is incompressible with this scheme (selector falls back)."""
+    c = np.ascontiguousarray(corpus, dtype=np.uint8)
+    used = np.zeros(256, dtype=bool)
+    if len(c):
+        used[np.unique(c)] = True
+    rounds = []
+    for _ in range(MAX_ROUNDS):
+        free = np.flatnonzero(~used)
+        r = _compress_round(c, free, max_syms=min(128, len(free)))
+        if r is None:
+            break
+        codes, sym_pairs, c = r
+        used[codes] = True
+        rounds.append((codes, sym_pairs))
+    if not rounds:
+        return None
+    parts = [bytes([len(rounds)])]
+    for codes, sym_pairs in rounds:
+        parts.append(bytes([len(codes)]))
+        parts.append(codes.tobytes())
+        parts.append(sym_pairs.tobytes())
+    parts.append(c.tobytes())
+    return b"".join(parts)
+
+
+def decompress(buf: memoryview | bytes) -> np.ndarray:
+    """Inverse of :func:`compress` -> uint8 corpus."""
+    mv = memoryview(buf)
+    n_rounds = mv[0]
+    pos = 1
+    tables = []
+    for _ in range(n_rounds):
+        n_syms = mv[pos]
+        pos += 1
+        codes = np.frombuffer(mv[pos : pos + n_syms], dtype=np.uint8)
+        pos += n_syms
+        sym_pairs = np.frombuffer(mv[pos : pos + 2 * n_syms], dtype=np.uint8).reshape(n_syms, 2)
+        pos += 2 * n_syms
+        tables.append((codes, sym_pairs))
+    out = np.frombuffer(mv[pos:], dtype=np.uint8)
+    for codes, sym_pairs in reversed(tables):
+        expand0 = np.arange(256, dtype=np.uint8)  # identity for literals
+        expand1 = np.zeros(256, dtype=np.uint8)
+        is_sym = np.zeros(256, dtype=bool)
+        is_sym[codes] = True
+        expand0[codes] = sym_pairs[:, 0]
+        expand1[codes] = sym_pairs[:, 1]
+        sym_mask = is_sym[out]
+        sizes = np.where(sym_mask, 2, 1).astype(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(sizes[:-1])])
+        new = np.empty(int(sizes.sum()), dtype=np.uint8)
+        new[offsets] = expand0[out]
+        new[offsets[sym_mask] + 1] = expand1[out[sym_mask]]
+        out = new
+    return out

@@ -1,0 +1,123 @@
+"""String-column codecs: PLAIN_STR, DICT_STR, FSST_STR.
+
+The reference has no string codecs (integers only — SURVEY §1.3); these
+generalize its dictionary design (sorted uniques + packed indices,
+reference src/varintDict.c:95-224) to strings and add an FSST-style
+symbol table for high-cardinality text.
+
+String arrays cross these kernels as Arrow large_utf8 — the offsets/data
+buffers are used directly, so conversion is zero-copy-ish and never
+per-row Python.
+
+Layouts (inside the standard block container)::
+
+    PLAIN_STR: [lengths: leb128 stream][utf-8 data]
+    DICT_STR : [codes: nested int block][dict: nested PLAIN_STR block]
+    FSST_STR : [lengths: leb128 stream][fsst table + compressed corpus]
+
+DICT_STR's codes are a *nested self-describing int block* chosen by the
+adaptive int selector — run-heavy columns (``role``) get RLE-on-codes for
+free, mirroring how the reference composes codecs in its adaptive path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from . import blocks, fsst, leb128
+
+
+def to_plane(values) -> tuple[np.ndarray, np.ndarray]:
+    """string array-like (no nulls) -> (lengths int64, utf8 corpus uint8)."""
+    arr = values if isinstance(values, pa.Array) else pa.array(values, type=pa.large_utf8())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        raise ValueError("nulls must be stripped by the NULLABLE wrapper")
+    arr = arr.cast(pa.large_utf8())
+    buffers = arr.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=np.int64, count=len(arr) + 1, offset=arr.offset * 8)
+    data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.empty(0, np.uint8)
+    lengths = np.diff(offsets)
+    corpus = data[offsets[0] : offsets[-1]]
+    return lengths.astype(np.int64), corpus
+
+
+def from_plane(lengths: np.ndarray, corpus: np.ndarray) -> pa.Array:
+    """(lengths, utf8 corpus) -> Arrow large_utf8 array."""
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    return pa.Array.from_buffers(
+        pa.large_utf8(), len(lengths),
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(np.ascontiguousarray(corpus).tobytes())],
+    )
+
+
+# ---- PLAIN_STR ----------------------------------------------------------------
+
+def encode_plain(values) -> bytes:
+    lengths, corpus = to_plane(values)
+    return leb128.encode(lengths.astype(np.uint64)) + corpus.tobytes()
+
+
+def decode_plain(buf: memoryview | bytes, count: int) -> pa.Array:
+    if count == 0:
+        return pa.array([], type=pa.large_utf8())
+    b = np.frombuffer(buf, dtype=np.uint8)
+    term = (b & 0x80) == 0
+    len_end = int(np.flatnonzero(term)[count - 1]) + 1
+    lengths = leb128.decode(b[:len_end], count).astype(np.int64)
+    return from_plane(lengths, b[len_end:])
+
+
+# ---- DICT_STR -------------------------------------------------------------------
+
+def encode_dict(values, encode_int_block=None) -> bytes:
+    """Dictionary-encode; ``encode_int_block(int64 array) -> block bytes``
+    defaults to the adaptive selector (lazy import avoids a cycle)."""
+    if encode_int_block is None:
+        from ..selector import encode_int_block  # noqa: PLC0415
+    arr = values if isinstance(values, pa.Array) else pa.array(values, type=pa.large_utf8())
+    denc = arr.dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = denc.dictionary
+    return blocks.put_sub(encode_int_block(codes)) + blocks.put_sub(
+        blocks.pack_block(blocks.PLAIN_STR, len(uniq), encode_plain(uniq))
+    )
+
+
+def decode_dict(buf: memoryview | bytes, count: int, decode_int_block=None) -> pa.Array:
+    if decode_int_block is None:
+        from ..selector import decode_int_block  # noqa: PLC0415
+    if count == 0:
+        return pa.array([], type=pa.large_utf8())
+    mv = memoryview(buf)
+    codes_blk, pos = blocks.take_sub(mv, 0)
+    dict_blk, _ = blocks.take_sub(mv, pos)
+    codes = decode_int_block(codes_blk)
+    _, n_uniq, payload = blocks.unpack_block(dict_blk)
+    uniq = decode_plain(payload, n_uniq)
+    return uniq.take(pa.array(codes.astype(np.int64)))
+
+
+# ---- FSST_STR -------------------------------------------------------------------
+
+def encode_fsst(values) -> bytes | None:
+    """None when the corpus is incompressible — caller falls back."""
+    lengths, corpus = to_plane(values)
+    comp = fsst.compress(corpus)
+    if comp is None:
+        return None
+    return leb128.encode(lengths.astype(np.uint64)) + comp
+
+
+def decode_fsst(buf: memoryview | bytes, count: int) -> pa.Array:
+    if count == 0:
+        return pa.array([], type=pa.large_utf8())
+    b = np.frombuffer(buf, dtype=np.uint8)
+    term = (b & 0x80) == 0
+    len_end = int(np.flatnonzero(term)[count - 1]) + 1
+    lengths = leb128.decode(b[:len_end], count).astype(np.int64)
+    corpus = fsst.decompress(b[len_end:])
+    return from_plane(lengths, corpus)

@@ -1,0 +1,249 @@
+"""Adaptive codec selection — per-chunk stats pass + ordered decision tree.
+
+Generalizes the reference's adaptive codec (``varintAdaptiveAnalyze`` →
+``varintAdaptiveSelectEncoding`` → dispatch, reference
+src/varintAdaptive.c:183-310) to both int and string columns:
+
+* stats are computed vectorized per chunk (sampled beyond a threshold, like
+  ``varintAdaptiveCountUnique`` src/varintAdaptive.c:69-125),
+* an ordered decision tree nominates candidate codecs,
+* a **cost gate** (reference pattern: dict returns 0 when not beneficial,
+  src/varintDict.h:95-97; RLE benefit predicate src/varintRLE.c:62-65)
+  actually encodes the top candidates and keeps the smallest — and always
+  compares against the reference-faithful zigzag-LEB128 varint stream and
+  PLAIN, so emitted size never exceeds either.
+
+Blocks are self-describing; decode dispatches on the tag byte only.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from .codecs import blocks, bitpack, delta, dict_codec, foref, leb128, pfor, plain, rle, strings, varint
+from .codecs.blocks import (
+    DELTA, DICT_INT, DICT_STR, FOR, FSST_STR, LEB128_ZZ, NULLABLE,
+    PFOR, PLAIN_INT, PLAIN_STR, RLE_INT, CODEC_NAMES,
+)
+
+SAMPLE_THRESHOLD = 10_000  # beyond this, sample every 10th value (ref :77-125)
+
+
+# ---------------------------------------------------------------------------
+# stats
+# ---------------------------------------------------------------------------
+
+@dataclass
+class IntStats:
+    """Per-chunk statistics — the engine's ``varintAdaptiveDataStats``
+    (reference src/varintAdaptive.h:53-67) plus run-length ratio."""
+    count: int
+    min: int
+    max: int
+    is_sorted: bool
+    unique_ratio: float
+    run_ratio: float
+    avg_delta: float
+    outlier_ratio: float
+
+
+def analyze_ints(v: np.ndarray) -> IntStats:
+    n = len(v)
+    if n == 0:
+        return IntStats(0, 0, 0, True, 0.0, 0.0, 0.0, 0.0)
+    mn, mx = int(v.min()), int(v.max())
+    diffs = np.diff(v)
+    is_sorted = bool(n == 1 or (diffs >= 0).all())
+    sample = v[::10] if n > SAMPLE_THRESHOLD else v
+    unique_ratio = len(np.unique(sample)) / len(sample)
+    n_runs = 1 + int(np.count_nonzero(diffs != 0))
+    run_ratio = n_runs / n
+    avg_delta = float(np.abs(diffs).mean()) if n > 1 else 0.0
+    # outliers relative to the 95th percentile of FOR offsets (ref :231-241)
+    offs = v.view(np.uint64) - np.int64(mn).astype(np.uint64)
+    p95 = np.percentile(sample.view(np.uint64) - np.int64(mn).astype(np.uint64), 95)
+    outlier_ratio = float(np.count_nonzero(offs.astype(np.float64) > max(p95, 1.0) * 4) / n)
+    return IntStats(n, mn, mx, is_sorted, unique_ratio, run_ratio, avg_delta, outlier_ratio)
+
+
+_INT_ENCODERS = {
+    PLAIN_INT: plain.encode_int,
+    LEB128_ZZ: varint.encode,
+    DELTA: delta.encode,
+    FOR: foref.encode,
+    PFOR: pfor.encode,
+    RLE_INT: rle.encode,
+    DICT_INT: dict_codec.encode,
+}
+_INT_DECODERS = {
+    PLAIN_INT: plain.decode_int,
+    LEB128_ZZ: varint.decode,
+    DELTA: delta.decode,
+    FOR: foref.decode,
+    PFOR: pfor.decode,
+    RLE_INT: rle.decode,
+    DICT_INT: dict_codec.decode,
+}
+
+
+def candidate_int_codecs(s: IntStats) -> list[int]:
+    """Ordered decision tree — same shape as the reference's
+    (src/varintAdaptive.c:244-310), nominating up to 3 candidates for the
+    cost gate."""
+    cands: list[int] = []
+    if s.run_ratio < 0.5:
+        cands.append(RLE_INT)
+    if s.unique_ratio < 0.15:
+        cands.append(DICT_INT)
+    if s.is_sorted or (s.count > 1 and s.avg_delta < max(abs(s.min), 1) / 10):
+        cands.append(DELTA)
+    if s.outlier_ratio > 0.005:
+        cands.append(PFOR)
+    cands.append(FOR)
+    return cands[:4]
+
+
+def encode_int_block(values: np.ndarray, stats: IntStats | None = None) -> bytes:
+    """int64 array -> self-describing block, cost-gated."""
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    n = len(v)
+    if n == 0:
+        return blocks.pack_block(PLAIN_INT, 0, b"")
+    s = stats or analyze_ints(v)
+    best_id, best_payload = None, None
+    for cid in candidate_int_codecs(s):
+        payload = _INT_ENCODERS[cid](v)
+        if best_payload is None or len(payload) < len(best_payload):
+            best_id, best_payload = cid, payload
+    # floors: reference-faithful varint stream, then plain
+    varint_size = varint.encoded_size(v)
+    if best_payload is None or varint_size < len(best_payload):
+        cand = varint.encode(v)
+        if best_payload is None or len(cand) < len(best_payload):
+            best_id, best_payload = LEB128_ZZ, cand
+    if 8 * n < len(best_payload):
+        best_id, best_payload = PLAIN_INT, plain.encode_int(v)
+    return blocks.pack_block(best_id, n, best_payload)
+
+
+def decode_int_block(buf: bytes | memoryview) -> np.ndarray:
+    cid, count, payload = blocks.unpack_block(buf)
+    return _INT_DECODERS[cid](payload, count)
+
+
+# ---------------------------------------------------------------------------
+# strings
+# ---------------------------------------------------------------------------
+
+@dataclass
+class StrStats:
+    count: int
+    unique_ratio: float
+    avg_len: float
+
+
+def analyze_strings(lengths: np.ndarray, arr: pa.Array) -> StrStats:
+    n = len(lengths)
+    if n == 0:
+        return StrStats(0, 0.0, 0.0)
+    sample = arr.slice(0, min(n, SAMPLE_THRESHOLD))
+    import pyarrow.compute as pc
+    unique_ratio = len(pc.unique(sample)) / len(sample)
+    return StrStats(n, unique_ratio, float(lengths.mean()))
+
+
+def encode_str_block(values) -> bytes:
+    """string array-like (no nulls) -> self-describing block, cost-gated."""
+    arr = values if isinstance(values, pa.Array) else pa.array(values, type=pa.large_utf8())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = arr.cast(pa.large_utf8())
+    n = len(arr)
+    if n == 0:
+        return blocks.pack_block(PLAIN_STR, 0, b"")
+    lengths, _ = strings.to_plane(arr)
+    s = analyze_strings(lengths, arr)
+    plain_payload = strings.encode_plain(arr)
+    best_id, best_payload = PLAIN_STR, plain_payload
+    if s.unique_ratio < 0.5:
+        cand = strings.encode_dict(arr, encode_int_block=encode_int_block)
+        if len(cand) < len(best_payload):
+            best_id, best_payload = DICT_STR, cand
+    if s.avg_len >= 4 and best_id == PLAIN_STR:
+        cand = strings.encode_fsst(arr)
+        if cand is not None and len(cand) < len(best_payload):
+            best_id, best_payload = FSST_STR, cand
+    elif best_id == DICT_STR and s.unique_ratio > 0.01 and s.avg_len >= 4:
+        # high-ish cardinality dicts: FSST may still beat dict on long text
+        cand = strings.encode_fsst(arr)
+        if cand is not None and len(cand) < len(best_payload):
+            best_id, best_payload = FSST_STR, cand
+    return blocks.pack_block(best_id, n, best_payload)
+
+
+def decode_str_block(buf: bytes | memoryview) -> pa.Array:
+    cid, count, payload = blocks.unpack_block(buf)
+    if cid == PLAIN_STR:
+        return strings.decode_plain(payload, count)
+    if cid == DICT_STR:
+        return strings.decode_dict(payload, count, decode_int_block=decode_int_block)
+    if cid == FSST_STR:
+        return strings.decode_fsst(payload, count)
+    raise ValueError(f"not a string block: codec {cid}")
+
+
+# ---------------------------------------------------------------------------
+# nullable wrapper + column entry points
+# ---------------------------------------------------------------------------
+
+def _wrap_nullable(valid_mask: np.ndarray, inner: bytes) -> bytes:
+    payload = bitpack.pack(valid_mask.astype(np.uint64), 1) + inner
+    return blocks.pack_block(NULLABLE, len(valid_mask), payload)
+
+
+def encode_column(values: pa.Array, kind: str) -> bytes:
+    """Arrow array (int64/large_utf8, possibly with nulls) -> block bytes.
+
+    ``kind`` is 'int' or 'str'. Nulls are stripped into a validity bitmap
+    (the reference's column_store example keeps a null bitmap beside each
+    column — examples/integration/column_store.c:66-71)."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if values.null_count:
+        valid = ~np.asarray(values.is_null())
+        dense = values.drop_null()
+        inner = encode_int_block(dense.to_numpy(zero_copy_only=False).astype(np.int64)) if kind == "int" else encode_str_block(dense)
+        return _wrap_nullable(valid, inner)
+    if kind == "int":
+        return encode_int_block(values.to_numpy(zero_copy_only=False).astype(np.int64))
+    return encode_str_block(values)
+
+
+def decode_column(buf: bytes | memoryview) -> pa.Array:
+    """block bytes -> Arrow array (int64 or large_utf8, nulls restored)."""
+    cid, count, payload = blocks.unpack_block(buf)
+    if cid == NULLABLE:
+        bitmap_len = bitpack.packed_size(count, 1)
+        valid = bitpack.unpack(np.frombuffer(payload[:bitmap_len], dtype=np.uint8), 1, count).astype(bool)
+        inner = decode_column(payload[bitmap_len:])
+        idx = np.full(count, -1, dtype=np.int64)
+        idx[valid] = np.arange(len(inner), dtype=np.int64)
+        take_idx = pa.array(np.where(valid, idx, -1), type=pa.int64())
+        mask = pa.array(~valid)
+        safe_idx = pa.array(np.where(valid, idx, 0), type=pa.int64())
+        out = inner.take(safe_idx)
+        return pa.compute.if_else(mask, pa.nulls(count, type=out.type), out)
+    if cid in blocks.INT_CODECS:
+        return pa.array(_INT_DECODERS[cid](payload, count), type=pa.int64())
+    return decode_str_block(buf)
+
+
+def codec_name_of(buf: bytes | memoryview) -> str:
+    cid, count, payload = blocks.unpack_block(buf)
+    if cid == NULLABLE:
+        bitmap_len = bitpack.packed_size(count, 1)
+        return "nullable+" + codec_name_of(payload[bitmap_len:])
+    return CODEC_NAMES[cid]
