@@ -1,0 +1,93 @@
+"""End-to-end Spark pipeline: synthesize → encode → decode → bit-identical.
+
+The per-row invariant from BASELINE.json input_hint: per-turn ``text``
+equality under stable (conv_id, turn_idx) ordering, plus bit-identical
+integer/timestamp columns.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from varint_spark import transcripts
+from varint_spark.engine import EncodeOptions, decode_blocks, encode_transcripts, lineage_summary
+
+
+@pytest.fixture(scope="module")
+def small_transcripts(spark):
+    df = transcripts.generate_spark(spark, n_conversations=200, n_hot=1, hot_turns=3000)
+    df.cache().count()
+    return df
+
+
+OPTS = EncodeOptions(num_buckets=8, chunk_rows=1024, salt_span=2048)
+
+
+def _sorted_pdf(df):
+    return (
+        df.orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+
+def test_encode_decode_bit_identical(spark, small_transcripts):
+    blocks = encode_transcripts(small_transcripts, OPTS)
+    blocks.cache()
+    decoded = decode_blocks(blocks, transcripts.TRANSCRIPT_DDL)
+    left = _sorted_pdf(small_transcripts)
+    right = _sorted_pdf(decoded)
+    pd.testing.assert_frame_equal(left, right)
+
+
+def test_salting_splits_hot_conversation(spark, small_transcripts):
+    blocks = encode_transcripts(small_transcripts, OPTS)
+    # the hot conversation has 3000 turns > salt_span 2048 → at least 2 salts
+    n_salts = (
+        blocks.filter(F.col("column") == "turn_idx")
+        .select(F.substring_index("part_key", ":", -1).alias("salt"))
+        .distinct()
+        .count()
+    )
+    assert n_salts >= 2
+
+
+def test_compression_beats_reference_floor(spark, small_transcripts):
+    blocks = encode_transcripts(small_transcripts, OPTS)
+    lin = lineage_summary(blocks).toPandas()
+    by_col = lin.groupby("column")[["raw_bytes", "encoded_bytes", "varint_bytes"]].sum()
+    # integer/timestamp columns: encoded ≤ reference-faithful varint stream (+block headers)
+    for col in ("turn_idx", "ts"):
+        row = by_col.loc[col]
+        assert row.encoded_bytes <= row.varint_bytes * 1.02 + 64, col
+    # overall: strictly smaller than raw
+    total = by_col.sum()
+    assert total.encoded_bytes < 0.7 * total.raw_bytes
+    # expected codec picks on this data shape
+    codecs = dict(zip(lin["column"], lin["codec"]))
+    assert "delta" in lin[lin.column == "ts"]["codec"].iloc[0]
+    assert lin[lin.column == "role"]["codec"].iloc[0] in ("dict_str",)
+
+
+def test_determinism_across_parallelism(spark, small_transcripts):
+    """Same input at different parallelism → identical per-partition digests
+    (SURVEY §7.2: deterministic chunking + stable in-group sort)."""
+    b1 = encode_transcripts(small_transcripts.repartition(2), OPTS)
+    b2 = encode_transcripts(small_transcripts.repartition(13), OPTS)
+    d1 = {tuple(r[:3]): r[3] for r in b1.select("part_key", "chunk_id", "column", "digest").collect()}
+    d2 = {tuple(r[:3]): r[3] for r in b2.select("part_key", "chunk_id", "column", "digest").collect()}
+    assert d1 == d2
+
+
+def test_nulls_roundtrip(spark):
+    df = transcripts.generate_spark(spark, n_conversations=30, n_hot=0).withColumn(
+        "tool", F.when(F.col("turn_idx") % 3 == 0, None).otherwise(F.col("tool"))
+    ).withColumn(
+        "text", F.when(F.col("turn_idx") % 7 == 0, None).otherwise(F.col("text"))
+    )
+    df.cache().count()
+    blocks = encode_transcripts(df, OPTS)
+    decoded = decode_blocks(blocks, transcripts.TRANSCRIPT_DDL)
+    pd.testing.assert_frame_equal(_sorted_pdf(df), _sorted_pdf(decoded))
