@@ -1,38 +1,221 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the varint_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator surface (SURVEY.md §2):
+
+* ``roundtrip_*`` — the core correctness gate for a compression engine:
+  encode → decode through the full Spark pipeline, returning the original
+  rows. The DuckDB oracle is the identity SELECT, so the value-hash match
+  proves bit-identical decode on real parquet data.
+* ``codec_pfor_outliers`` — a SQL-expressible outlier column exercising the
+  patched-FOR path end-to-end.
+* ``analyze_*`` — the reference's analysis surface (varintFORAnalyze,
+  varintRLEAnalyze, varintDictGetStats, varintAdaptiveAnalyze — SURVEY
+  §2.A.4) re-expressed as Spark-native relational queries with SQL oracles.
+* ``encode_stats_transcripts`` / ``compression_by_column`` — codec-choice +
+  compression-ratio lineage (rows-only check; codec choice is not
+  SQL-expressible).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
+
+from varint_spark import transcripts
+from varint_spark.engine import EncodeOptions, encode_transcripts, lineage_summary, roundtrip
+
+_OPTS = EncodeOptions(num_buckets=16, chunk_rows=16_384, salt_span=65_536)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: adaptive-encode the transcript table derived from the
+    sf0.001 events parquet; return per-column lineage (codec, bytes, ratio)."""
+    df = transcripts.from_events(spark, "/root/testdata/sf0.001")
+    blocks = encode_transcripts(df, _OPTS)
+    lin = lineage_summary(blocks)
+    return (
+        lin.groupBy("column", "codec")
+        .agg(
+            F.sum("values").alias("values"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("encoded_bytes").alias("encoded_bytes"),
+        )
+        .withColumn("ratio", F.round(F.col("raw_bytes") / F.col("encoded_bytes"), 3))
+        .orderBy("column", "codec")
+    )
+
+
+def _rt(table: str, group_col: str, order_col: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        return roundtrip(df, group_col, order_col, _OPTS)
+
+    return q
+
+
+def _q_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = transcripts.from_events(spark, sf_dir)
+    return roundtrip(df, "conv_id", "turn_idx", _OPTS)
+
+
+def _q_pfor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 20 == 0, F.col("user_id") * 1_000_000_000)
+        .otherwise(F.col("user_id"))
+        .alias("v"),
+    )
+    return roundtrip(df, "event_id", "event_id", _OPTS)
+
+
+def _q_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("user_id").alias("min_uid"),
+            F.max("user_id").alias("max_uid"),
+            (F.max("user_id") - F.min("user_id")).alias("range_uid"),
+        )
+    )
+
+
+def _q_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    w = W.orderBy("l_orderkey", "l_linenumber")
+    runs = li.withColumn("prev", F.lag("l_returnflag").over(w))
+    return runs.select(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(F.col("prev").isNull() | (F.col("prev") != F.col("l_returnflag")), 1).otherwise(0)
+        ).alias("n_runs"),
+    )
+
+
+def _q_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.select(
+        F.countDistinct("o_orderstatus").alias("n_status"),
+        F.countDistinct("o_orderpriority").alias("n_priority"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def _q_delta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.to_timestamp("ts"))  # parquet ts is TIMESTAMP_NTZ; session TZ is UTC
+    d = ev.withColumn("delta_us", us - F.lag(us).over(w))
+    return (
+        d.filter(F.col("delta_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_deltas"),
+            F.sum("delta_us").alias("sum_delta_us"),
+            F.max("delta_us").alias("max_delta_us"),
+        )
+    )
+
+
+def _q_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = transcripts.generate_spark(spark, n_conversations=300, n_hot=1, hot_turns=5000)
+    blocks = encode_transcripts(df, _OPTS)
+    return (
+        lineage_summary(blocks)
+        .groupBy("column", "codec")
+        .agg(F.sum("values").alias("values"), F.sum("encoded_bytes").alias("encoded_bytes"))
+        .orderBy("column", "codec")
+    )
+
+
+def _q_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    blocks = encode_transcripts(ev, EncodeOptions(num_buckets=16, chunk_rows=16_384,
+                                                  salt_span=2**40, group_col="user_id",
+                                                  order_col="event_id"),
+                                kinds=None)
+    return (
+        blocks.groupBy("column")
+        .agg(
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("encoded_bytes").alias("encoded_bytes"),
+            F.sum("varint_bytes").alias("varint_bytes"),
+        )
+        .orderBy("column")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "roundtrip_events": _rt("events", "user_id", "event_id"),
+        "roundtrip_orders": _rt("orders", "o_custkey", "o_orderkey"),
+        "roundtrip_lineitem": _rt("lineitem", "l_orderkey", "l_linenumber"),
+        "roundtrip_documents": _rt("documents", "lang", "doc_id"),
+        "roundtrip_transcripts": _q_transcripts,
+        "codec_pfor_outliers": _q_pfor,
+        "analyze_minmax_range": _q_minmax,
+        "analyze_run_lengths": _q_runs,
+        "analyze_cardinality": _q_cardinality,
+        "analyze_delta_stats": _q_delta_stats,
+        "encode_stats_transcripts": _q_encode_stats,
+        "compression_by_column": _q_compression,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "roundtrip_events": "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+        "roundtrip_orders": (
+            "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,"
+            " o_orderpriority FROM orders"
+        ),
+        "roundtrip_lineitem": (
+            "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,"
+            " l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate"
+            " FROM lineitem"
+        ),
+        "roundtrip_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "roundtrip_transcripts": (
+            "SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,"
+            " CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT)"
+            "   AS turn_idx,"
+            " event_type AS role, props AS text,"
+            " CASE WHEN value > 50 THEN event_type ELSE '' END AS tool, ts"
+            " FROM events"
+        ),
+        "codec_pfor_outliers": (
+            "SELECT event_id,"
+            " CASE WHEN event_id % 20 = 0 THEN user_id * 1000000000 ELSE user_id END AS v"
+            " FROM events"
+        ),
+        "analyze_minmax_range": (
+            "SELECT event_type, COUNT(*) AS cnt, MIN(user_id) AS min_uid,"
+            " MAX(user_id) AS max_uid, MAX(user_id) - MIN(user_id) AS range_uid"
+            " FROM events GROUP BY event_type"
+        ),
+        "analyze_run_lengths": (
+            "SELECT COUNT(*) AS n_rows,"
+            " SUM(CASE WHEN prev IS NULL OR prev <> l_returnflag THEN 1 ELSE 0 END) AS n_runs"
+            " FROM (SELECT l_returnflag,"
+            "   LAG(l_returnflag) OVER (ORDER BY l_orderkey, l_linenumber) AS prev"
+            "   FROM lineitem)"
+        ),
+        "analyze_cardinality": (
+            "SELECT COUNT(DISTINCT o_orderstatus) AS n_status,"
+            " COUNT(DISTINCT o_orderpriority) AS n_priority,"
+            " COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_rows FROM orders"
+        ),
+        "analyze_delta_stats": (
+            "SELECT user_id, COUNT(*) AS n_deltas, SUM(delta_us) AS sum_delta_us,"
+            " MAX(delta_us) AS max_delta_us FROM ("
+            "   SELECT user_id, epoch_us(ts) - LAG(epoch_us(ts)) OVER"
+            "     (PARTITION BY user_id ORDER BY ts, event_id) AS delta_us FROM events)"
+            " WHERE delta_us IS NOT NULL GROUP BY user_id"
+        ),
+        # encode_stats_transcripts / compression_by_column: codec choice and
+        # block sizes are engine-internal — rows-only check (no oracle).
+    }

@@ -1,0 +1,151 @@
+"""Benchmark harness — encode/decode throughput on the transcript table.
+
+Default: run headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line::
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "turns_per_sec": ..., "compression_ratio": ..., ...}
+
+``--scaling``: run the encode job at local[8] and local[32] (N vs 4N
+executors stand-in per BASELINE.json) in subprocesses and write
+BENCH/BASELINE.md with both throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _sf_from_dir(d: str) -> float:
+    try:
+        return float(Path(d).name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _transcript_conversations(sf: float) -> int:
+    # mean ~21 turns/conversation → sf0.1 ≈ 600k turns (matches lineitem rows)
+    return max(200, int(280_000 * sf))
+
+
+def run_bench(encode_only: bool = False) -> dict:
+    from pyspark.sql import functions as F
+
+    from varint_spark import transcripts
+    from varint_spark.engine import EncodeOptions, decode_blocks, encode_transcripts, roundtrip
+    from varint_spark.session import get_spark
+
+    sf = _sf_from_dir(SF_DIR)
+    spark = get_spark("varint_spark_bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS) * 2)
+    opts = EncodeOptions(num_buckets=int(CPUS) * 4, chunk_rows=65_536, salt_span=262_144)
+
+    n_conv = _transcript_conversations(sf)
+    tdf = transcripts.generate_spark(spark, n_conversations=n_conv, n_hot=3, hot_turns=30_000)
+    tdf = tdf.repartition(int(CPUS) * 2).cache()
+    n_turns = tdf.count()
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    t0 = time.time()
+    blocks = encode_transcripts(tdf, opts)
+    blocks.cache()
+    agg = blocks.agg(F.sum("raw_bytes").alias("raw"), F.sum("encoded_bytes").alias("enc"),
+                     F.sum("varint_bytes").alias("var")).collect()[0]
+    t_encode = time.time() - t0
+    queries["encode_transcripts"] = round(t_encode, 3)
+    extras["turns_per_sec"] = round(n_turns / t_encode, 1)
+    extras["n_turns"] = n_turns
+    extras["compression_ratio"] = round(agg["raw"] / agg["enc"], 3)
+    extras["vs_varint_floor"] = round(agg["var"] / agg["enc"], 3)
+
+    if not encode_only:
+        t0 = time.time()
+        decoded = decode_blocks(blocks, transcripts.TRANSCRIPT_DDL)
+        decoded.count()
+        queries["decode_transcripts"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        roundtrip(ev, "user_id", "event_id", opts).count()
+        queries["roundtrip_events"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        roundtrip(li, "l_orderkey", "l_linenumber", opts).count()
+        queries["roundtrip_lineitem"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        roundtrip(docs, "lang", "doc_id", opts).count()
+        queries["roundtrip_documents"] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "transcript encode+decode wall seconds (headline: turns_per_sec)",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        **extras,
+    }
+    spark.stop()
+    return result
+
+
+def run_scaling() -> None:
+    """Same encode job at local[8] vs local[32]; efficiency = T8_rate×? —
+    per BASELINE.json: throughput scaling efficiency ≥ 0.8 from N to 4N."""
+    results = {}
+    for cpus in ("8", "32"):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=cpus, SPARK_GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, str(REPO / "bench.py"), "--encode-only"],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    r8, r32 = results["8"]["turns_per_sec"], results["32"]["turns_per_sec"]
+    eff = (r32 / r8) / 4.0
+    md = f"""# BENCH — two-parallelism scaling evidence
+
+Same encode job (synthetic transcript table, {results['32']['n_turns']:,} turns,
+sf={results['32']['sf']}) at two parallelism levels on one host —
+`local[8]` vs `local[32]` standing in for N vs 4N executors
+(BASELINE.json north rule; no real cluster in this sandbox).
+
+| parallelism | encode wall (s) | turns/sec | compression ratio |
+|---|---|---|---|
+| local[8]  (N)  | {results['8']['queries']['encode_transcripts']} | {r8:,.0f} | {results['8']['compression_ratio']} |
+| local[32] (4N) | {results['32']['queries']['encode_transcripts']} | {r32:,.0f} | {results['32']['compression_ratio']} |
+
+**Scaling efficiency (N→4N): {eff:.3f}** (target ≥ 0.8 — note single-host
+stand-in shares memory bandwidth; on a real 4N-executor cluster the encode
+stage is embarrassingly parallel after its single shuffle).
+
+Compressed size vs reference-faithful varint stream (int columns):
+encoded/varint = {1/results['32']['vs_varint_floor']:.3f} (≤ 1.0 means we
+beat the reference floor; string columns have no reference codec).
+"""
+    (REPO / "BENCH").mkdir(exist_ok=True)
+    (REPO / "BENCH" / "BASELINE.md").write_text(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench(encode_only="--encode-only" in sys.argv)))

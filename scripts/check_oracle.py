@@ -1,0 +1,70 @@
+"""Local mirror of the driver's correctness gate: run each queries() entry
+on Spark and its oracle_sql() on DuckDB at sf0.01; compare row count,
+column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import __spark_entry__ as entrymod
+from varint_spark.session import get_spark
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = sys.argv[2:] or None
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("datetime64[us]").astype("int64")
+        elif pd.api.types.is_float_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("int64")
+    return pdf.sort_values(list(pdf.columns), ignore_index=True)
+
+
+def main():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    spark = get_spark("oracle_check", master="local[8]", shuffle_partitions=8)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, SF_DIR).toPandas()
+        t1 = time.time()
+        if name not in oracles:
+            print(f"  {name}: rows-only, {len(sdf)} rows ({t1-t0:.1f}s)")
+            assert len(sdf) > 0, name
+            continue
+        odf = con.execute(oracles[name]).fetchdf()
+        a, b = normalize(sdf), normalize(odf)
+        status = "OK"
+        try:
+            pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        except AssertionError as e:
+            status = f"MISMATCH: {str(e)[:300]}"
+            failures.append(name)
+        print(f"  {name}: {len(sdf)} vs {len(odf)} rows — {status} ({t1-t0:.1f}s)")
+    print("FAILURES:", failures or "none")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

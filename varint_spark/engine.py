@@ -33,18 +33,47 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F
 
+from pyspark.sql import types as T
+
 from .codecs import varint
 from .selector import codec_name_of, decode_column, encode_column
 
-# (column -> logical kind) for the transcript schema; ints cover int32/64 + timestamp-as-µs
+# Logical kinds: every column maps to an int64 plane or a utf8 plane before
+# hitting the codec kernels (the reference's "everything is uint64[]" model,
+# SURVEY §1.1). f64 is a bit-cast (lossless, like varintFloat FULL mode,
+# reference src/varintFloat.h:27-114).
+#   int32/int64  — integer columns
+#   ts           — timestamp ↔ int64 epoch-µs
+#   f64          — double ↔ int64 bit pattern
+#   str          — utf-8 strings
 TRANSCRIPT_KINDS = {
     "conv_id": "str",
-    "turn_idx": "int",
+    "turn_idx": "int32",
     "role": "str",
     "text": "str",
     "tool": "str",
-    "ts": "ts",  # timestamp ↔ int64 epoch-µs
+    "ts": "ts",
 }
+
+
+def kinds_for_schema(schema: T.StructType) -> dict[str, str]:
+    """Derive column kinds from a Spark schema."""
+    out = {}
+    for f in schema.fields:
+        dt = f.dataType
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+            out[f.name] = "int32"
+        elif isinstance(dt, T.LongType):
+            out[f.name] = "int64"
+        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            out[f.name] = "ts"
+        elif isinstance(dt, T.DoubleType):
+            out[f.name] = "f64"
+        elif isinstance(dt, T.StringType):
+            out[f.name] = "str"
+        else:
+            raise TypeError(f"unsupported column type for {f.name}: {dt}")
+    return out
 
 BLOCK_SCHEMA_DDL = (
     "part_key string, chunk_id int, column string, codec string, "
@@ -68,7 +97,15 @@ class EncodeOptions:
 def _to_arrow_int64(series: pd.Series, kind: str) -> pa.Array:
     if kind == "ts":
         return pa.Array.from_pandas(series, type=pa.timestamp("us")).cast(pa.int64())
+    if kind == "f64":
+        # lossless bit-cast; pandas NaN means "missing" only if parquet said
+        # so — we treat NaN as a value (bit-identical round trip either way)
+        vals = series.to_numpy(dtype=np.float64).view(np.int64)
+        return pa.array(vals, type=pa.int64())
     return pa.Array.from_pandas(series, type=pa.int64())
+
+
+INT_KINDS = ("int32", "int64", "ts", "f64")
 
 
 def _encode_chunk_rows(pdf: pd.DataFrame, part_key: str, chunk_id: int,
@@ -76,7 +113,7 @@ def _encode_chunk_rows(pdf: pd.DataFrame, part_key: str, chunk_id: int,
     rows = []
     n = len(pdf)
     for col, kind in kinds.items():
-        if kind in ("int", "ts"):
+        if kind in INT_KINDS:
             arr = _to_arrow_int64(pdf[col], kind)
             raw_bytes = 8 * n
             dense = arr.drop_null() if arr.null_count else arr
@@ -134,8 +171,8 @@ def with_partition_keys(df: DataFrame, opts: EncodeOptions) -> DataFrame:
 
 def encode_transcripts(df: DataFrame, opts: EncodeOptions = EncodeOptions(),
                        kinds: dict[str, str] | None = None) -> DataFrame:
-    """Transcript rows -> encoded block rows (one per chunk × column)."""
-    kinds = kinds or {c: TRANSCRIPT_KINDS.get(c, "str") for c in df.columns}
+    """Table rows -> encoded block rows (one per chunk × column)."""
+    kinds = kinds or kinds_for_schema(df.schema)
     keyed = with_partition_keys(df, opts)
     fn = make_encode_udf(kinds, opts.chunk_rows, opts.group_col, opts.order_col)
     return keyed.groupBy("_bucket", "_salt").applyInPandas(fn, BLOCK_SCHEMA_DDL)
@@ -150,20 +187,50 @@ def make_decode_udf(kinds: dict[str, str], out_ddl_cols: list[str]):
             kind = kinds[col]
             if kind == "ts":
                 arr = arr.cast(pa.timestamp("us"))
-            elif kind == "int":
-                pass
+            elif kind == "int32":
+                arr = arr.cast(pa.int32())
+            elif kind == "f64":
+                vals = arr.to_numpy(zero_copy_only=False).astype(np.int64).view(np.float64)
+                arr = pa.array(vals, type=pa.float64())
             data[col] = arr.to_pandas()
         return pd.DataFrame(data)
 
     return decode_group
 
 
+_DDL_KINDS = {
+    "tinyint": "int32", "smallint": "int32", "int": "int32", "integer": "int32",
+    "bigint": "int64", "long": "int64",
+    "timestamp": "ts", "timestamp_ntz": "ts", "double": "f64", "string": "str",
+}
+
+
+def kinds_for_ddl(schema_ddl: str) -> dict[str, str]:
+    out = {}
+    for field in schema_ddl.split(","):
+        name, typ = field.strip().split()[:2]
+        out[name] = _DDL_KINDS[typ.lower()]
+    return out
+
+
 def decode_blocks(blocks: DataFrame, schema_ddl: str, kinds: dict[str, str] | None = None) -> DataFrame:
-    """Encoded block rows -> original transcript rows (order-insensitive)."""
-    cols = [f.split()[0] for f in schema_ddl.split(",")]
-    kinds = kinds or {c: TRANSCRIPT_KINDS.get(c, "str") for c in cols}
+    """Encoded block rows -> original rows (order-insensitive)."""
+    cols = [f.strip().split()[0] for f in schema_ddl.split(",")]
+    kinds = kinds or kinds_for_ddl(schema_ddl)
     fn = make_decode_udf(kinds, cols)
     return blocks.groupBy("part_key", "chunk_id").applyInPandas(fn, schema_ddl)
+
+
+def roundtrip(df: DataFrame, group_col: str, order_col: str,
+              opts: EncodeOptions | None = None) -> DataFrame:
+    """encode → decode a generic table; returns a DataFrame with the same
+    schema and row set (the correctness-gate workhorse)."""
+    import dataclasses
+    opts = dataclasses.replace(opts or EncodeOptions(), group_col=group_col, order_col=order_col)
+    kinds = kinds_for_schema(df.schema)
+    blocks = encode_transcripts(df, opts, kinds=kinds)
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    return decode_blocks(blocks, ddl, kinds=kinds)
 
 
 def lineage_summary(blocks: DataFrame) -> DataFrame:
