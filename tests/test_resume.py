@@ -1,0 +1,73 @@
+"""Checkpoint/resume semantics (FIXTURES.md F5): kill after k partitions,
+re-run, completed partitions are not re-encoded, final state identical to
+an uninterrupted run."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from varint_spark import transcripts
+from varint_spark.engine import EncodeOptions, decode_blocks, encode_transcripts, with_partition_keys
+from varint_spark.lineage import encode_checkpointed, read_blocks, read_lineage
+
+OPTS = EncodeOptions(num_buckets=6, chunk_rows=512, salt_span=1024)
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    df = transcripts.generate_spark(spark, n_conversations=120, n_hot=1, hot_turns=1500)
+    df.cache().count()
+    return df
+
+
+def test_resume_after_partial_run(spark, tdf, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ckpt"))
+
+    # simulated kill: first run only sees 3 of 6 buckets' conversations
+    keyed = with_partition_keys(tdf, OPTS)
+    partial = keyed.filter(F.col("_bucket") < 3).drop("_bucket", "_salt")
+    s1 = encode_checkpointed(partial, root, OPTS)
+    assert s1["partitions_skipped"] == 0 and s1["partitions_encoded"] > 0
+    lin1 = read_lineage(spark, root).toPandas().sort_values(["part_key", "column"], ignore_index=True)
+
+    # resume with the full input: completed partitions must be skipped
+    s2 = encode_checkpointed(tdf, root, OPTS)
+    assert s2["partitions_skipped"] == s1["partitions_encoded"]
+    lin2 = read_lineage(spark, root).toPandas()
+
+    # lineage rows of completed partitions unchanged (same digests, no re-encode)
+    lin2_first = lin2[lin2.part_key.isin(lin1.part_key)].sort_values(
+        ["part_key", "column"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(lin1, lin2_first)
+    # each partition committed exactly once
+    assert not lin2.duplicated(["part_key", "column"]).any()
+
+    # final blocks identical to an uninterrupted encode
+    expected = {
+        tuple(r) for r in encode_transcripts(tdf, OPTS)
+        .select("part_key", "chunk_id", "column", "digest").collect()
+    }
+    actual = {
+        tuple(r) for r in read_blocks(spark, root)
+        .select("part_key", "chunk_id", "column", "digest").collect()
+    }
+    assert actual == expected
+
+    # and decodes back to the exact input
+    decoded = decode_blocks(
+        read_blocks(spark, root).drop("pk"), transcripts.TRANSCRIPT_DDL
+    )
+    left = tdf.orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
+    right = decoded.orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(left, right)
+
+
+def test_rerun_is_noop(spark, tdf, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ckpt2"))
+    s1 = encode_checkpointed(tdf, root, OPTS)
+    s2 = encode_checkpointed(tdf, root, OPTS)
+    assert s2["partitions_encoded"] == 0
+    assert s2["partitions_skipped"] == s1["partitions_encoded"]

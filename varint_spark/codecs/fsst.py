@@ -29,12 +29,19 @@ MAX_ROUNDS = 3
 MIN_PAIR_COUNT = 4  # a pair must save at least ~4 bytes to earn a code
 
 
-def _match_mask(corpus: np.ndarray, sym_lookup: np.ndarray) -> np.ndarray:
+def _pair_codes(corpus: np.ndarray) -> np.ndarray:
+    """uint16 code of every adjacent byte pair (one fused pass)."""
+    out = corpus[:-1].astype(np.uint16)
+    out <<= 8
+    out |= corpus[1:]
+    return out
+
+
+def _match_mask(pairs: np.ndarray, n_corpus: int, sym_lookup: np.ndarray) -> np.ndarray:
     """Boolean mask of positions starting a kept (non-overlapping) symbol."""
-    pairs = corpus[:-1].astype(np.int32) * 256 + corpus[1:].astype(np.int32)
     m = sym_lookup[pairs] >= 0
     if not m.any():
-        return np.zeros(len(corpus), dtype=bool)
+        return np.zeros(n_corpus, dtype=bool)
     idx = np.arange(len(m), dtype=np.int64)
     prev = np.concatenate([[False], m[:-1]])
     is_run_start = m & ~prev
@@ -47,7 +54,7 @@ def _compress_round(corpus: np.ndarray, free_codes: np.ndarray, max_syms: int):
     """One BPE round. Returns (codes, pairs, new_corpus) or None if no gain."""
     if len(corpus) < 2 or len(free_codes) == 0:
         return None
-    pairs = corpus[:-1].astype(np.int32) * 256 + corpus[1:].astype(np.int32)
+    pairs = _pair_codes(corpus)
     counts = np.bincount(pairs, minlength=65536)
     n_syms = min(max_syms, len(free_codes), int((counts >= MIN_PAIR_COUNT).sum()))
     if n_syms == 0:
@@ -58,7 +65,7 @@ def _compress_round(corpus: np.ndarray, free_codes: np.ndarray, max_syms: int):
         return None
     sym_lookup = np.full(65536, -1, dtype=np.int32)
     sym_lookup[top] = np.arange(len(top), dtype=np.int32)
-    keep = _match_mask(corpus, sym_lookup)
+    keep = _match_mask(pairs, len(corpus), sym_lookup)
     covered_second = np.concatenate([[False], keep[:-1]])
     out_sizes = np.where(keep, 1, np.where(covered_second, 0, 1)).astype(np.int64)
     offsets = np.concatenate([[0], np.cumsum(out_sizes[:-1])])
@@ -81,18 +88,19 @@ def compress(corpus: np.ndarray) -> bytes | None:
     """uint8 corpus -> serialized (table + compressed bytes), or None when
     the corpus is incompressible with this scheme (selector falls back)."""
     c = np.ascontiguousarray(corpus, dtype=np.uint8)
-    used = np.zeros(256, dtype=bool)
-    if len(c):
-        used[np.unique(c)] = True
+    used = np.bincount(c, minlength=256).astype(bool) if len(c) else np.zeros(256, dtype=bool)
     rounds = []
     for _ in range(MAX_ROUNDS):
         free = np.flatnonzero(~used)
+        prev_len = len(c)
         r = _compress_round(c, free, max_syms=min(128, len(free)))
         if r is None:
             break
         codes, sym_pairs, c = r
         used[codes] = True
         rounds.append((codes, sym_pairs))
+        if len(c) > 0.93 * prev_len:  # diminishing returns — stop early
+            break
     if not rounds:
         return None
     parts = [bytes([len(rounds)])]

@@ -237,8 +237,9 @@ def lineage_summary(blocks: DataFrame) -> DataFrame:
     """Per-partition lineage/metrics rows (the engine's ``varintFORMeta``
     analog — SURVEY §1.1): one row per (part_key, column)."""
     return (
-        blocks.groupBy("part_key", "column", "codec")
+        blocks.groupBy("part_key", "column")
         .agg(
+            F.array_join(F.sort_array(F.collect_set("codec")), ",").alias("codec"),
             F.count("*").alias("n_chunks"),
             F.sum("count").alias("values"),
             F.sum("raw_bytes").alias("raw_bytes"),
