@@ -32,6 +32,8 @@ DICT_INT = 6    # sorted unique values + packed indices (ref src/varintDict.c)
 PLAIN_STR = 16  # lengths int-block + concatenated utf-8 bytes
 DICT_STR = 17   # codes int-block + dictionary PLAIN_STR block
 FSST_STR = 18   # lengths int-block + symbol-table-compressed corpus
+DICT_STR_SHARED = 19  # codes int-block against a broadcast dictionary
+FSST_STR_SHARED = 20  # lengths + corpus compressed with broadcast FSST tables
 # wrapper
 NULLABLE = 31   # [null bitmap][inner block over non-null values]
 
@@ -46,12 +48,14 @@ CODEC_NAMES = {
     PLAIN_STR: "plain_str",
     DICT_STR: "dict_str",
     FSST_STR: "fsst_str",
+    DICT_STR_SHARED: "dict_str_shared",
+    FSST_STR_SHARED: "fsst_str_shared",
     NULLABLE: "nullable",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
 INT_CODECS = (PLAIN_INT, LEB128_ZZ, DELTA, FOR, PFOR, RLE_INT, DICT_INT)
-STR_CODECS = (PLAIN_STR, DICT_STR, FSST_STR)
+STR_CODECS = (PLAIN_STR, DICT_STR, FSST_STR, DICT_STR_SHARED, FSST_STR_SHARED)
 
 
 def put_uvarint(x: int) -> bytes:

@@ -84,9 +84,9 @@ def _compress_round(corpus: np.ndarray, free_codes: np.ndarray, max_syms: int):
     return codes, sym_pairs, out
 
 
-def compress(corpus: np.ndarray) -> bytes | None:
-    """uint8 corpus -> serialized (table + compressed bytes), or None when
-    the corpus is incompressible with this scheme (selector falls back)."""
+def _train_and_apply(corpus: np.ndarray) -> tuple[list, np.ndarray] | None:
+    """Learn tables on ``corpus`` while compressing it. Returns
+    (rounds, compressed) or None if incompressible."""
     c = np.ascontiguousarray(corpus, dtype=np.uint8)
     used = np.bincount(c, minlength=256).astype(bool) if len(c) else np.zeros(256, dtype=bool)
     rounds = []
@@ -103,21 +103,24 @@ def compress(corpus: np.ndarray) -> bytes | None:
             break
     if not rounds:
         return None
+    return rounds, c
+
+
+def serialize_tables(rounds: list) -> bytes:
     parts = [bytes([len(rounds)])]
     for codes, sym_pairs in rounds:
         parts.append(bytes([len(codes)]))
         parts.append(codes.tobytes())
-        parts.append(sym_pairs.tobytes())
-    parts.append(c.tobytes())
+        parts.append(np.ascontiguousarray(sym_pairs).tobytes())
     return b"".join(parts)
 
 
-def decompress(buf: memoryview | bytes) -> np.ndarray:
-    """Inverse of :func:`compress` -> uint8 corpus."""
+def deserialize_tables(buf: memoryview | bytes) -> tuple[list, int]:
+    """-> (rounds, bytes consumed)."""
     mv = memoryview(buf)
     n_rounds = mv[0]
     pos = 1
-    tables = []
+    rounds = []
     for _ in range(n_rounds):
         n_syms = mv[pos]
         pos += 1
@@ -125,8 +128,73 @@ def decompress(buf: memoryview | bytes) -> np.ndarray:
         pos += n_syms
         sym_pairs = np.frombuffer(mv[pos : pos + 2 * n_syms], dtype=np.uint8).reshape(n_syms, 2)
         pos += 2 * n_syms
-        tables.append((codes, sym_pairs))
-    out = np.frombuffer(mv[pos:], dtype=np.uint8)
+        rounds.append((codes, sym_pairs))
+    return rounds, pos
+
+
+def train(sample_corpus: np.ndarray) -> bytes | None:
+    """Learn a reusable symbol table from a sample (the broadcast-table
+    path — reference analog: reusable pre-built dict, src/varintDict.h:72-76).
+    Returns serialized tables, or None if the sample is incompressible."""
+    r = _train_and_apply(sample_corpus)
+    return serialize_tables(r[0]) if r else None
+
+
+def apply_tables(corpus: np.ndarray, tables: bytes) -> np.ndarray | None:
+    """Compress ``corpus`` with pre-trained tables (no training pass).
+    Returns compressed bytes array, or None if any corpus byte collides
+    with a symbol code (possible when the corpus drifts from the training
+    sample — caller falls back to local training)."""
+    rounds, _ = deserialize_tables(tables)
+    c = np.ascontiguousarray(corpus, dtype=np.uint8)
+    if len(c) == 0:
+        return c
+    present = np.bincount(c, minlength=256) > 0
+    for codes, _pairs in rounds:
+        if present[codes].any():
+            return None  # code byte appears as a literal — ambiguous
+    for codes, sym_pairs in rounds:
+        sym_lookup = np.full(65536, -1, dtype=np.int32)
+        pair_vals = sym_pairs[:, 0].astype(np.int32) * 256 + sym_pairs[:, 1].astype(np.int32)
+        sym_lookup[pair_vals] = np.arange(len(codes), dtype=np.int32)
+        pairs = _pair_codes(c) if len(c) > 1 else np.empty(0, dtype=np.uint16)
+        keep = _match_mask(pairs, len(c), sym_lookup)
+        covered_second = np.concatenate([[False], keep[:-1]])
+        out_sizes = np.where(keep, 1, np.where(covered_second, 0, 1)).astype(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(out_sizes[:-1])])
+        out = np.empty(int(out_sizes.sum()), dtype=np.uint8)
+        kept_pairs = pairs[keep[:-1]] if len(c) > 1 else pairs[:0]
+        out[offsets[keep]] = codes[sym_lookup[kept_pairs]]
+        lit = ~keep & ~covered_second
+        out[offsets[lit]] = c[lit]
+        c = out
+    return c
+
+
+def decompress_with(compressed: np.ndarray, tables: bytes) -> np.ndarray:
+    """Inverse of :func:`apply_tables`."""
+    rounds, _ = deserialize_tables(tables)
+    return _expand(np.ascontiguousarray(compressed, dtype=np.uint8), rounds)
+
+
+def compress(corpus: np.ndarray) -> bytes | None:
+    """uint8 corpus -> serialized (table + compressed bytes), or None when
+    the corpus is incompressible with this scheme (selector falls back)."""
+    r = _train_and_apply(corpus)
+    if r is None:
+        return None
+    rounds, c = r
+    return serialize_tables(rounds) + c.tobytes()
+
+
+def decompress(buf: memoryview | bytes) -> np.ndarray:
+    """Inverse of :func:`compress` -> uint8 corpus."""
+    mv = memoryview(buf)
+    tables, pos = deserialize_tables(mv)
+    return _expand(np.frombuffer(mv[pos:], dtype=np.uint8), tables)
+
+
+def _expand(out: np.ndarray, tables: list) -> np.ndarray:
     for codes, sym_pairs in reversed(tables):
         expand0 = np.arange(256, dtype=np.uint8)  # identity for literals
         expand1 = np.zeros(256, dtype=np.uint8)

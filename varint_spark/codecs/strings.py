@@ -101,6 +101,60 @@ def decode_dict(buf: memoryview | bytes, count: int, decode_int_block=None) -> p
     return uniq.take(pa.array(codes.astype(np.int64)))
 
 
+# ---- shared-table variants (broadcast dict / FSST — reference analog:
+# ---- varintDictEncodeWithDict, src/varintDict.h:72-76) ---------------------------
+
+def encode_dict_shared(values, digest: str, dict_arr: pa.Array,
+                       encode_int_block) -> bytes | None:
+    """Codes against a broadcast dictionary. None if any value misses
+    (chunk drifted from the table — caller falls back to a local dict)."""
+    import pyarrow.compute as pc
+
+    arr = values if isinstance(values, pa.Array) else pa.array(values, type=pa.large_utf8())
+    codes = pc.index_in(arr, value_set=dict_arr)
+    if codes.null_count:
+        return None
+    codes_np = codes.to_numpy(zero_copy_only=False).astype(np.int64)
+    return digest.encode("ascii") + blocks.put_sub(encode_int_block(codes_np))
+
+
+def decode_dict_shared(buf: memoryview | bytes, count: int, digest: str,
+                       dict_arr: pa.Array, decode_int_block) -> pa.Array:
+    mv = memoryview(buf)
+    got = bytes(mv[:16]).decode("ascii")
+    if got != digest:
+        raise ValueError(f"shared-dict digest mismatch: block={got} tables={digest}")
+    codes_blk, _ = blocks.take_sub(mv, 16)
+    codes = decode_int_block(codes_blk)
+    return dict_arr.take(pa.array(codes, type=pa.int64()))
+
+
+def encode_fsst_shared(values, digest: str, tables: bytes) -> bytes | None:
+    """Corpus compressed with broadcast FSST tables (no training pass).
+    None when a corpus byte collides with a symbol code — caller falls back."""
+    lengths, corpus = to_plane(values)
+    comp = fsst.apply_tables(corpus, tables)
+    if comp is None:
+        return None
+    return digest.encode("ascii") + leb128.encode(lengths.astype(np.uint64)) + comp.tobytes()
+
+
+def decode_fsst_shared(buf: memoryview | bytes, count: int, digest: str,
+                       tables: bytes) -> pa.Array:
+    mv = memoryview(buf)
+    got = bytes(mv[:16]).decode("ascii")
+    if got != digest:
+        raise ValueError(f"shared-fsst digest mismatch: block={got} tables={digest}")
+    if count == 0:
+        return pa.array([], type=pa.large_utf8())
+    b = np.frombuffer(mv[16:], dtype=np.uint8)
+    term = (b & 0x80) == 0
+    len_end = int(np.flatnonzero(term)[count - 1]) + 1
+    lengths = leb128.decode(b[:len_end], count).astype(np.int64)
+    corpus = fsst.decompress_with(b[len_end:], tables)
+    return from_plane(lengths, corpus)
+
+
 # ---- FSST_STR -------------------------------------------------------------------
 
 def encode_fsst(values) -> bytes | None:

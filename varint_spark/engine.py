@@ -65,8 +65,10 @@ def kinds_for_schema(schema: T.StructType) -> dict[str, str]:
             out[f.name] = "int32"
         elif isinstance(dt, T.LongType):
             out[f.name] = "int64"
-        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        elif isinstance(dt, T.TimestampType):
             out[f.name] = "ts"
+        elif isinstance(dt, T.TimestampNTZType):
+            out[f.name] = "tsntz"
         elif isinstance(dt, T.DoubleType):
             out[f.name] = "f64"
         elif isinstance(dt, T.StringType):
@@ -94,37 +96,45 @@ class EncodeOptions:
     group_col: str = "conv_id"
 
 
-def _to_arrow_int64(series: pd.Series, kind: str) -> pa.Array:
-    if kind == "ts":
-        return pa.Array.from_pandas(series, type=pa.timestamp("us")).cast(pa.int64())
+INT_KINDS = ("int32", "int64", "ts", "tsntz", "f64")
+
+_BLOCK_PA_SCHEMA = pa.schema([
+    ("part_key", pa.string()), ("chunk_id", pa.int32()), ("column", pa.string()),
+    ("codec", pa.string()), ("count", pa.int64()), ("null_count", pa.int64()),
+    ("raw_bytes", pa.int64()), ("encoded_bytes", pa.int64()),
+    ("varint_bytes", pa.int64()), ("digest", pa.string()), ("block", pa.binary()),
+])
+
+
+def _col_to_int64(arr: pa.Array, kind: str) -> pa.Array:
+    if kind in ("ts", "tsntz"):
+        return arr.cast(pa.int64())
     if kind == "f64":
-        # lossless bit-cast; pandas NaN means "missing" only if parquet said
-        # so — we treat NaN as a value (bit-identical round trip either way)
-        vals = series.to_numpy(dtype=np.float64).view(np.int64)
+        # lossless bit-cast (varintFloat FULL-mode analog); NaN is a value
+        vals = arr.to_numpy(zero_copy_only=False).view(np.int64)
         return pa.array(vals, type=pa.int64())
-    return pa.Array.from_pandas(series, type=pa.int64())
+    if kind == "int32":
+        return arr.cast(pa.int64())
+    return arr
 
 
-INT_KINDS = ("int32", "int64", "ts", "f64")
-
-
-def _encode_chunk_rows(pdf: pd.DataFrame, part_key: str, chunk_id: int,
-                       kinds: dict[str, str]) -> list[dict]:
+def _encode_chunk_rows(columns: dict[str, pa.Array], n: int, part_key: str,
+                       chunk_id: int, kinds: dict[str, str],
+                       shared_cols: dict | None = None) -> list[dict]:
     rows = []
-    n = len(pdf)
     for col, kind in kinds.items():
+        arr = columns[col]
         if kind in INT_KINDS:
-            arr = _to_arrow_int64(pdf[col], kind)
+            arr = _col_to_int64(arr, kind)
             raw_bytes = 8 * n
             dense = arr.drop_null() if arr.null_count else arr
             vb = varint.encoded_size(dense.to_numpy(zero_copy_only=False).astype(np.int64))
             block = encode_column(arr, "int")
         else:
-            arr = pa.Array.from_pandas(pdf[col], type=pa.large_utf8())
             lens = pa.compute.binary_length(arr)
             raw_bytes = int(pa.compute.sum(lens).as_py() or 0) + 4 * n  # data + 4B offsets
             vb = raw_bytes  # reference has no string codecs; floor = raw
-            block = encode_column(arr, "str")
+            block = encode_column(arr, "str", (shared_cols or {}).get(col))
         rows.append({
             "part_key": part_key,
             "chunk_id": chunk_id,
@@ -141,19 +151,45 @@ def _encode_chunk_rows(pdf: pd.DataFrame, part_key: str, chunk_id: int,
     return rows
 
 
-def make_encode_udf(kinds: dict[str, str], chunk_rows: int, group_col: str, order_col: str):
-    """Grouped-map UDF: one (bucket, salt) group of transcript rows ->
-    block rows. Defined as a closure so only plain values are captured."""
+def _resolve_shared(shared, kinds: dict[str, str]) -> dict | None:
+    """Broadcast[SharedTables] | SharedTables | None -> per-column
+    (digest, dict_arr, fsst_tables) tuples for the selector."""
+    if shared is None:
+        return None
+    tables = shared.value if hasattr(shared, "value") else shared
+    digest = tables.digest()
+    out = {}
+    for col, kind in kinds.items():
+        if kind != "str":
+            continue
+        d = tables.dict_array(col) if col in tables.dicts else None
+        f = tables.fsst_tables.get(col)
+        if d is not None or f is not None:
+            out[col] = (digest, d, f)
+    return out or None
 
-    def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        bucket, salt = int(key[0]), int(key[1])
+
+def make_encode_udf(kinds: dict[str, str], chunk_rows: int, group_col: str,
+                    order_col: str, shared=None):
+    """Grouped-map Arrow UDF: one (bucket, salt) group of rows -> block
+    rows. Arrow-native end to end — rows never materialize as Python
+    objects (the applyInPandas equivalent spends most of its time building
+    millions of Python strings)."""
+
+    def encode_group(key, table):
+        bucket, salt = int(key[0].as_py()), int(key[1].as_py())
         part_key = f"{bucket:06d}:{salt:04d}"
-        pdf = pdf.sort_values([group_col, order_col], kind="mergesort", ignore_index=True)
+        shared_cols = _resolve_shared(shared, kinds)
+        table = table.sort_by([(group_col, "ascending"), (order_col, "ascending")])
+        cols = {c: table.column(c).combine_chunks() for c in kinds}
         out: list[dict] = []
-        for chunk_id, start in enumerate(range(0, len(pdf), chunk_rows)):
-            chunk = pdf.iloc[start : start + chunk_rows]
-            out.extend(_encode_chunk_rows(chunk, part_key, chunk_id, kinds))
-        return pd.DataFrame(out)
+        n = table.num_rows
+        for chunk_id, start in enumerate(range(0, n, chunk_rows)):
+            m = min(chunk_rows, n - start)
+            chunk_cols = {c: a.slice(start, m) for c, a in cols.items()}
+            out.extend(_encode_chunk_rows(chunk_cols, m, part_key, chunk_id, kinds,
+                                          shared_cols))
+        return pa.Table.from_pylist(out, schema=_BLOCK_PA_SCHEMA)
 
     return encode_group
 
@@ -170,30 +206,42 @@ def with_partition_keys(df: DataFrame, opts: EncodeOptions) -> DataFrame:
 
 
 def encode_transcripts(df: DataFrame, opts: EncodeOptions = EncodeOptions(),
-                       kinds: dict[str, str] | None = None) -> DataFrame:
-    """Table rows -> encoded block rows (one per chunk × column)."""
+                       kinds: dict[str, str] | None = None, shared=None) -> DataFrame:
+    """Table rows -> encoded block rows (one per chunk × column).
+
+    ``shared``: optional Broadcast[SharedTables] (see varint_spark.shared)."""
     kinds = kinds or kinds_for_schema(df.schema)
     keyed = with_partition_keys(df, opts)
-    fn = make_encode_udf(kinds, opts.chunk_rows, opts.group_col, opts.order_col)
-    return keyed.groupBy("_bucket", "_salt").applyInPandas(fn, BLOCK_SCHEMA_DDL)
+    fn = make_encode_udf(kinds, opts.chunk_rows, opts.group_col, opts.order_col, shared)
+    return keyed.groupBy("_bucket", "_salt").applyInArrow(fn, BLOCK_SCHEMA_DDL)
 
 
-def make_decode_udf(kinds: dict[str, str], out_ddl_cols: list[str]):
-    def decode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        blocks_by_col = dict(zip(pdf["column"], pdf["block"]))
-        data = {}
-        for col in out_ddl_cols:
-            arr = decode_column(blocks_by_col[col])
-            kind = kinds[col]
-            if kind == "ts":
-                arr = arr.cast(pa.timestamp("us"))
-            elif kind == "int32":
-                arr = arr.cast(pa.int32())
-            elif kind == "f64":
-                vals = arr.to_numpy(zero_copy_only=False).astype(np.int64).view(np.float64)
-                arr = pa.array(vals, type=pa.float64())
-            data[col] = arr.to_pandas()
-        return pd.DataFrame(data)
+def _decoded_to_output(arr: pa.Array, kind: str) -> pa.Array:
+    if kind == "ts":
+        return arr.cast(pa.timestamp("us", tz="UTC"))
+    if kind == "tsntz":
+        return arr.cast(pa.timestamp("us"))
+    if kind == "int32":
+        return arr.cast(pa.int32())
+    if kind == "f64":
+        vals = arr.to_numpy(zero_copy_only=False).astype(np.int64).view(np.float64)
+        return pa.array(vals, type=pa.float64())
+    if kind == "str":
+        return arr.cast(pa.string())
+    return arr
+
+
+def make_decode_udf(kinds: dict[str, str], out_ddl_cols: list[str], shared=None):
+    def decode_group(key, table):
+        shared_cols = _resolve_shared(shared, kinds) or {}
+        names = table.column("column").to_pylist()
+        blks = table.column("block").to_pylist()
+        by_col = dict(zip(names, blks))
+        arrays = [
+            _decoded_to_output(decode_column(by_col[col], shared_cols.get(col)), kinds[col])
+            for col in out_ddl_cols
+        ]
+        return pa.Table.from_arrays(arrays, names=out_ddl_cols)
 
     return decode_group
 
@@ -201,7 +249,7 @@ def make_decode_udf(kinds: dict[str, str], out_ddl_cols: list[str]):
 _DDL_KINDS = {
     "tinyint": "int32", "smallint": "int32", "int": "int32", "integer": "int32",
     "bigint": "int64", "long": "int64",
-    "timestamp": "ts", "timestamp_ntz": "ts", "double": "f64", "string": "str",
+    "timestamp": "ts", "timestamp_ntz": "tsntz", "double": "f64", "string": "str",
 }
 
 
@@ -213,12 +261,13 @@ def kinds_for_ddl(schema_ddl: str) -> dict[str, str]:
     return out
 
 
-def decode_blocks(blocks: DataFrame, schema_ddl: str, kinds: dict[str, str] | None = None) -> DataFrame:
+def decode_blocks(blocks: DataFrame, schema_ddl: str, kinds: dict[str, str] | None = None,
+                  shared=None) -> DataFrame:
     """Encoded block rows -> original rows (order-insensitive)."""
     cols = [f.strip().split()[0] for f in schema_ddl.split(",")]
     kinds = kinds or kinds_for_ddl(schema_ddl)
-    fn = make_decode_udf(kinds, cols)
-    return blocks.groupBy("part_key", "chunk_id").applyInPandas(fn, schema_ddl)
+    fn = make_decode_udf(kinds, cols, shared)
+    return blocks.groupBy("part_key", "chunk_id").applyInArrow(fn, schema_ddl)
 
 
 def roundtrip(df: DataFrame, group_col: str, order_col: str,

@@ -25,8 +25,8 @@ import pyarrow as pa
 
 from .codecs import blocks, bitpack, delta, dict_codec, foref, leb128, pfor, plain, rle, strings, varint
 from .codecs.blocks import (
-    DELTA, DICT_INT, DICT_STR, FOR, FSST_STR, LEB128_ZZ, NULLABLE,
-    PFOR, PLAIN_INT, PLAIN_STR, RLE_INT, CODEC_NAMES,
+    DELTA, DICT_INT, DICT_STR, DICT_STR_SHARED, FOR, FSST_STR, FSST_STR_SHARED,
+    LEB128_ZZ, NULLABLE, PFOR, PLAIN_INT, PLAIN_STR, RLE_INT, CODEC_NAMES,
 )
 
 SAMPLE_THRESHOLD = 10_000  # beyond this, sample every 10th value (ref :77-125)
@@ -155,8 +155,12 @@ def analyze_strings(lengths: np.ndarray, arr: pa.Array) -> StrStats:
     return StrStats(n, unique_ratio, float(lengths.mean()))
 
 
-def encode_str_block(values) -> bytes:
-    """string array-like (no nulls) -> self-describing block, cost-gated."""
+def encode_str_block(values, shared_col=None) -> bytes:
+    """string array-like (no nulls) -> self-describing block, cost-gated.
+
+    ``shared_col``: optional (digest, dict_arr | None, fsst_tables | None)
+    from a broadcast SharedTables — shared candidates enter the same cost
+    gate as local ones."""
     arr = values if isinstance(values, pa.Array) else pa.array(values, type=pa.large_utf8())
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -168,11 +172,23 @@ def encode_str_block(values) -> bytes:
     s = analyze_strings(lengths, arr)
     plain_payload = strings.encode_plain(arr)
     best_id, best_payload = PLAIN_STR, plain_payload
-    if s.unique_ratio < 0.5:
+
+    digest, shared_dict, shared_fsst = shared_col if shared_col else (None, None, None)
+    if shared_dict is not None:
+        cand = strings.encode_dict_shared(arr, digest, shared_dict,
+                                          encode_int_block=encode_int_block)
+        if cand is not None and len(cand) < len(best_payload):
+            best_id, best_payload = DICT_STR_SHARED, cand
+    if shared_fsst is not None and s.avg_len >= 4:
+        cand = strings.encode_fsst_shared(arr, digest, shared_fsst)
+        if cand is not None and len(cand) < len(best_payload):
+            best_id, best_payload = FSST_STR_SHARED, cand
+
+    if s.unique_ratio < 0.5 and best_id != DICT_STR_SHARED:
         cand = strings.encode_dict(arr, encode_int_block=encode_int_block)
         if len(cand) < len(best_payload):
             best_id, best_payload = DICT_STR, cand
-    if s.avg_len >= 4 and best_id == PLAIN_STR:
+    if s.avg_len >= 4 and best_id in (PLAIN_STR, FSST_STR_SHARED):
         cand = strings.encode_fsst(arr)
         if cand is not None and len(cand) < len(best_payload):
             best_id, best_payload = FSST_STR, cand
@@ -184,7 +200,7 @@ def encode_str_block(values) -> bytes:
     return blocks.pack_block(best_id, n, best_payload)
 
 
-def decode_str_block(buf: bytes | memoryview) -> pa.Array:
+def decode_str_block(buf: bytes | memoryview, shared_col=None) -> pa.Array:
     cid, count, payload = blocks.unpack_block(buf)
     if cid == PLAIN_STR:
         return strings.decode_plain(payload, count)
@@ -192,6 +208,16 @@ def decode_str_block(buf: bytes | memoryview) -> pa.Array:
         return strings.decode_dict(payload, count, decode_int_block=decode_int_block)
     if cid == FSST_STR:
         return strings.decode_fsst(payload, count)
+    digest, shared_dict, shared_fsst = shared_col if shared_col else (None, None, None)
+    if cid == DICT_STR_SHARED:
+        if shared_dict is None:
+            raise ValueError("block needs shared dict tables but none were provided")
+        return strings.decode_dict_shared(payload, count, digest, shared_dict,
+                                          decode_int_block=decode_int_block)
+    if cid == FSST_STR_SHARED:
+        if shared_fsst is None:
+            raise ValueError("block needs shared FSST tables but none were provided")
+        return strings.decode_fsst_shared(payload, count, digest, shared_fsst)
     raise ValueError(f"not a string block: codec {cid}")
 
 
@@ -204,7 +230,7 @@ def _wrap_nullable(valid_mask: np.ndarray, inner: bytes) -> bytes:
     return blocks.pack_block(NULLABLE, len(valid_mask), payload)
 
 
-def encode_column(values: pa.Array, kind: str) -> bytes:
+def encode_column(values: pa.Array, kind: str, shared_col=None) -> bytes:
     """Arrow array (int64/large_utf8, possibly with nulls) -> block bytes.
 
     ``kind`` is 'int' or 'str'. Nulls are stripped into a validity bitmap
@@ -215,20 +241,20 @@ def encode_column(values: pa.Array, kind: str) -> bytes:
     if values.null_count:
         valid = ~np.asarray(values.is_null())
         dense = values.drop_null()
-        inner = encode_int_block(dense.to_numpy(zero_copy_only=False).astype(np.int64)) if kind == "int" else encode_str_block(dense)
+        inner = encode_int_block(dense.to_numpy(zero_copy_only=False).astype(np.int64)) if kind == "int" else encode_str_block(dense, shared_col)
         return _wrap_nullable(valid, inner)
     if kind == "int":
         return encode_int_block(values.to_numpy(zero_copy_only=False).astype(np.int64))
-    return encode_str_block(values)
+    return encode_str_block(values, shared_col)
 
 
-def decode_column(buf: bytes | memoryview) -> pa.Array:
+def decode_column(buf: bytes | memoryview, shared_col=None) -> pa.Array:
     """block bytes -> Arrow array (int64 or large_utf8, nulls restored)."""
     cid, count, payload = blocks.unpack_block(buf)
     if cid == NULLABLE:
         bitmap_len = bitpack.packed_size(count, 1)
         valid = bitpack.unpack(np.frombuffer(payload[:bitmap_len], dtype=np.uint8), 1, count).astype(bool)
-        inner = decode_column(payload[bitmap_len:])
+        inner = decode_column(payload[bitmap_len:], shared_col)
         idx = np.full(count, -1, dtype=np.int64)
         idx[valid] = np.arange(len(inner), dtype=np.int64)
         take_idx = pa.array(np.where(valid, idx, -1), type=pa.int64())
@@ -238,7 +264,7 @@ def decode_column(buf: bytes | memoryview) -> pa.Array:
         return pa.compute.if_else(mask, pa.nulls(count, type=out.type), out)
     if cid in blocks.INT_CODECS:
         return pa.array(_INT_DECODERS[cid](payload, count), type=pa.int64())
-    return decode_str_block(buf)
+    return decode_str_block(buf, shared_col)
 
 
 def codec_name_of(buf: bytes | memoryview) -> str:
