@@ -60,7 +60,7 @@ def read_blocks(spark: SparkSession, root: str) -> DataFrame:
 
 def encode_checkpointed(df: DataFrame, root: str,
                         opts: EncodeOptions = EncodeOptions(),
-                        kinds: dict[str, str] | None = None) -> dict:
+                        kinds: dict[str, str] | None = None, shared=None) -> dict:
     """Encode ``df`` into <root>, skipping partitions already committed to
     lineage. Returns a summary dict (partitions done/skipped)."""
     spark = df.sparkSession
@@ -77,7 +77,7 @@ def encode_checkpointed(df: DataFrame, root: str,
             on="_part_key", how="left_anti",
         )
     pending = keyed.drop("_part_key", "_bucket", "_salt")
-    blocks = encode_transcripts(pending, opts, kinds=kinds)
+    blocks = encode_transcripts(pending, opts, kinds=kinds, shared=shared)
 
     blocks_dir = str(Path(root) / "blocks")
     (
