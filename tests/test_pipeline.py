@@ -1,0 +1,142 @@
+"""Training-data pipeline operators: dedup / similarity / text stats /
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from varint_spark.pipeline import dedup, multimodal, similarity, textstats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    d.cache().count()
+    return d
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    e.cache().count()
+    return e
+
+
+def test_exact_dedup(spark, docs):
+    doubled = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    marked = dedup.exact_dedup(doubled, ["text"], "doc_id")
+    keepers = marked.filter(F.col("dup_rank") == 0).count()
+    dupes = marked.filter(F.col("dup_rank") > 0).count()
+    n_unique = docs.select("text").distinct().count()
+    assert keepers == n_unique
+    assert keepers + dupes == 2 * docs.count()
+
+
+def test_minhash_detects_duplicates(spark, docs):
+    base = docs.limit(50)
+    copies = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = base.union(copies)
+    pairs = dedup.minhash_lsh_pairs(both, "doc_id", "text", num_hashes=32, bands=8)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    expected = {(r.doc_id, r.doc_id + 1_000_000) for r in base.collect()}
+    # exact copies share every band → all expected pairs found
+    assert expected <= found
+
+
+def test_minhash_deterministic_across_parallelism(spark, docs):
+    s1 = dedup.minhash_signatures(docs.repartition(1), "doc_id", "text", 16)
+    s2 = dedup.minhash_signatures(docs.repartition(7), "doc_id", "text", 16)
+    d1 = {r.doc_id: tuple(r.signature) for r in s1.collect()}
+    d2 = {r.doc_id: tuple(r.signature) for r in s2.collect()}
+    assert d1 == d2
+
+
+def test_simhash_similarity(spark, docs):
+    sh = dedup.simhash(docs, "doc_id", "text")
+    assert sh.count() == docs.filter(F.length(F.trim("text")) > 0).count()
+    # identical texts → identical simhash
+    doubled = docs.limit(10).union(docs.limit(10).withColumn("doc_id", F.col("doc_id") + 500))
+    vals = dedup.simhash(doubled, "doc_id", "text").collect()
+    by_id = {r.doc_id: r.simhash for r in vals}
+    for r in docs.limit(10).collect():
+        assert by_id[r.doc_id] == by_id[r.doc_id + 500]
+
+
+def test_ngram_jaccard_verifies(spark, docs):
+    base = docs.limit(20)
+    copies = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = base.union(copies)
+    pairs = dedup.minhash_lsh_pairs(both, "doc_id", "text", num_hashes=32, bands=8)
+    verified = dedup.ngram_jaccard_pairs(both, pairs, "doc_id", "text", threshold=0.99)
+    found = {(r.id_a, r.id_b) for r in verified.collect()}
+    expected = {(r.doc_id, r.doc_id + 1_000_000) for r in base.collect()}
+    assert expected <= found
+
+
+def test_cosine_topk_matches_numpy(spark, embs):
+    rows = embs.collect()
+    query = list(rows[0].embedding)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    q = np.array(query, dtype=np.float64)
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.argsort(-cos, kind="stable")[:5]
+    expected = [rows[i].vec_id for i in order]
+    got = [r.vec_id for r in similarity.cosine_topk(embs, "vec_id", "embedding", query, 5).collect()]
+    assert got == expected
+
+
+def test_lsh_topk_contains_query_itself(spark, embs):
+    row0 = embs.orderBy("vec_id").first()
+    query = list(row0.embedding)
+    got = similarity.lsh_cosine_topk(embs, "vec_id", "embedding", query, k=5, bits=4)
+    ids = [r.vec_id for r in got.collect()]
+    assert row0.vec_id in ids  # the query vector's own bucket contains it
+
+
+def test_token_and_quality_stats(spark, docs):
+    ts = textstats.token_stats(docs, "doc_id", "text").collect()
+    by_id = {r.doc_id: r for r in ts}
+    for r in docs.limit(20).collect():
+        expect_tokens = len([t for t in r.text.split() if t])
+        assert by_id[r.doc_id].n_tokens == expect_tokens
+        assert by_id[r.doc_id].n_chars == len(r.text)
+    qs = textstats.quality_score(docs, "doc_id", "text")
+    row = qs.first()
+    assert 0.0 <= row.punct_ratio <= 1.0 and 0.0 <= row.stopword_ratio <= 1.0
+
+
+def test_lang_id_runs(spark, docs):
+    out = textstats.lang_id(docs, "doc_id", "text")
+    langs = {r.lang_pred for r in out.collect()}
+    assert langs <= {"en", "de", "fr", "es", "und"}
+    assert out.count() == docs.count()
+
+
+def test_fingerprints_deterministic(spark, docs):
+    f1 = {r.doc_id: r.fingerprint for r in
+          textstats.fingerprints(docs.repartition(2), "doc_id", "text").collect()}
+    f2 = {r.doc_id: r.fingerprint for r in
+          textstats.fingerprints(docs.repartition(5), "doc_id", "text").collect()}
+    assert f1 == f2
+    # identical text ⇒ identical fingerprint
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    ids = list(texts)
+    assert all(f1[i] == f1[j] for i in ids for j in ids if texts[i] == texts[j])
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthesize_media(spark, n=60)
+    feats = multimodal.extract_features(media, feature_dim=16)
+    rows = feats.collect()
+    assert len(rows) == 60
+    assert all(len(r.features) == 16 for r in rows)
+    # deterministic across parallelism
+    f2 = multimodal.extract_features(media.repartition(7), feature_dim=16).collect()
+    assert {r.media_id: tuple(r.features) for r in rows} == \
+           {r.media_id: tuple(r.features) for r in f2}
+    stats = multimodal.media_stats(media).collect()
+    assert {r.modality for r in stats} == {"image", "audio", "video"}

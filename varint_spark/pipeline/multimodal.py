@@ -1,0 +1,92 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The Spark-side plumbing (schema, partitioning, UDF signature, Arrow batch
+shape) is real and tested; the actual media *decode* is stubbed behind a
+deterministic fake because the image/audio libraries are not in this
+container (``set_decoder`` swaps in a real one, e.g. PIL/librosa, on a
+cluster that has them).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_DDL = (
+    "media_id long, modality string, mime string, width int, height int, "
+    "duration_ms int, payload binary"
+)
+
+
+def synthesize_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    modalities = [("image", "image/png"), ("audio", "audio/wav"), ("video", "video/mp4")]
+    for i in range(n):
+        modality, mime = modalities[i % 3]
+        size = int(rng.integers(64, 4096))
+        payload = rng.integers(0, 256, size=size, dtype=np.int64).astype(np.uint8).tobytes()
+        rows.append((i, modality, mime, int(rng.integers(16, 512)),
+                     int(rng.integers(16, 512)), int(rng.integers(100, 60_000)), payload))
+    return spark.createDataFrame(rows, MEDIA_DDL)
+
+
+def _fake_decode(payload: bytes, modality: str) -> np.ndarray:
+    """Deterministic stand-in for a real media decoder: a fixed-length
+    feature vector derived from the payload digest. A real deployment
+    replaces this via :func:`set_decoder` (e.g. PIL decode + resize +
+    channel means; librosa MFCCs; frame-sampled video embeddings)."""
+    h = hashlib.sha256(payload).digest()
+    return np.frombuffer(h, dtype=np.uint8).astype(np.float64) / 255.0
+
+
+_DECODER = _fake_decode
+
+
+def set_decoder(fn) -> None:
+    """Swap in a real decoder: fn(payload: bytes, modality: str) -> np.ndarray."""
+    global _DECODER
+    _DECODER = fn
+
+
+def extract_features(df: DataFrame, feature_dim: int = 32) -> DataFrame:
+    """payload -> float feature vector via mapInArrow (Arrow batches carry
+    the binary column; no per-row Python outside the decoder itself, which
+    is inherently per-item). Partitioning: repartition upstream by
+    media_id so decode parallelism matches cores."""
+
+    def udf(iterator):
+        for tbl in iterator:
+            ids = tbl.column("media_id")
+            payloads = tbl.column("payload").to_pylist()
+            modalities = tbl.column("modality").to_pylist()
+            feats = np.zeros((len(payloads), feature_dim), dtype=np.float64)
+            for i, (p, m) in enumerate(zip(payloads, modalities)):
+                v = _DECODER(p, m)
+                feats[i, : min(feature_dim, len(v))] = v[:feature_dim]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(list(feats), type=pa.list_(pa.float64()))],
+                names=["media_id", "features"],
+            )
+
+    src = df.select("media_id", "modality", "payload")
+    return src.mapInArrow(udf, "media_id long, features array<double>")
+
+
+def media_stats(df: DataFrame) -> DataFrame:
+    """Typed-metadata aggregation — stays entirely JVM-side."""
+    return (
+        df.groupBy("modality")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+            F.avg("width").alias("avg_width"),
+            F.avg("duration_ms").alias("avg_duration_ms"),
+        )
+    )

@@ -1,0 +1,75 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+* :func:`cosine_topk` — brute-force cosine top-k, pure DataFrame ops
+  (``F.zip_with`` + ``F.aggregate`` stay JVM-side; one global top-k via
+  orderBy+limit, which Spark executes as per-partition top-k + merge —
+  no full sort materializes).
+* :func:`lsh_cosine_topk` — the scale path: random-hyperplane LSH buckets
+  prune the candidate set before exact scoring (probing the query's
+  bucket), trading recall for a ~(1/2^bits) scan fraction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def with_cosine(df: DataFrame, vec_col: str, query: list[float],
+                out_col: str = "cosine") -> DataFrame:
+    """Add cosine(vec_col, query) — all JVM-side higher-order functions."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qn = float(np.linalg.norm(np.asarray(query, dtype=np.float64))) or 1.0
+    return df.withColumn(out_col, _dot(v, q) / (_norm(v) * F.lit(qn)))
+
+
+def cosine_topk(df: DataFrame, id_col: str, vec_col: str, query: list[float],
+                k: int = 10) -> DataFrame:
+    """Brute-force exact top-k by cosine similarity to ``query``."""
+    scored = with_cosine(df, vec_col, query)
+    return (
+        scored.select(id_col, F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_signs(df: DataFrame, vec_col: str, dim: int, bits: int = 8,
+                     seed: int = 42, out_col: str = "bucket") -> DataFrame:
+    """Random-hyperplane LSH bucket id (deterministic planes)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bits, dim))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucket = F.lit(0)
+    for i in range(bits):
+        p = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bucket = bucket * 2 + F.when(_dot(v, p) >= 0, 1).otherwise(0)
+    return df.withColumn(out_col, bucket)
+
+
+def lsh_cosine_topk(df: DataFrame, id_col: str, vec_col: str, query: list[float],
+                    k: int = 10, bits: int = 8, seed: int = 42) -> DataFrame:
+    """ANN: score only the query's LSH bucket (≈ 1/2^bits of the table),
+    then exact cosine top-k inside it. At 100 TB the bucket column would be
+    a partition key so the scan prunes to one partition."""
+    dim = len(query)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bits, dim))
+    qv = np.asarray(query, dtype=np.float64)
+    q_bucket = 0
+    for i in range(bits):
+        q_bucket = q_bucket * 2 + (1 if float(planes[i] @ qv) >= 0 else 0)
+    bucketed = hyperplane_signs(df, vec_col, dim, bits, seed)
+    return cosine_topk(bucketed.filter(F.col("bucket") == q_bucket), id_col, vec_col, query, k)

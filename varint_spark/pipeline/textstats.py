@@ -1,0 +1,107 @@
+"""Text analysis operators — language-ID, quality scoring, token counting,
+document fingerprinting. All JVM-side built-in functions except the
+rolling-hash fingerprint (vectorized Arrow UDF).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+
+STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"]
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """n_chars / n_tokens / avg token length — whitespace tokenization plus
+    a BPE-ish subword count (4-char units, the common len(text)/4 heuristic)."""
+    t = F.col(text_col)
+    toks = F.filter(F.split(t, r"\s+"), lambda x: F.length(x) > 0)
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        (F.length(t) / F.greatest(F.size(toks), F.lit(1))).alias("avg_tok_len"),
+        F.ceil(F.length(t) / 4).cast("long").alias("n_subword_est"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality features: length band, punctuation ratio, stopword
+    ratio, uppercase ratio — the standard pretraining-filter features."""
+    t = F.col(text_col)
+    toks = F.filter(F.split(F.lower(t), r"\s+"), lambda x: F.length(x) > 0)
+    n_tokens = F.greatest(F.size(toks), F.lit(1))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_upper = F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    n_chars = F.greatest(F.length(t), F.lit(1))
+    return df.select(
+        F.col(id_col),
+        F.round(n_punct / n_chars, 6).alias("punct_ratio"),
+        F.round(n_upper / n_chars, 6).alias("upper_ratio"),
+        F.round(n_stop / n_tokens, 6).alias("stopword_ratio"),
+        F.when(F.length(t).between(200, 20_000), 1.0).otherwise(0.0).alias("len_ok"),
+    )
+
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "is", "of"],
+    "de": ["der", "und", "die", "nicht"],
+    "fr": ["le", "la", "et", "les"],
+    "es": ["el", "la", "los", "que"],
+}
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-profile language ID: argmax of per-language marker hits.
+    Ties and no-hits -> 'und' (undetermined)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: F.length(x) > 0)
+    scores = [
+        F.size(F.filter(toks, lambda x: F.array_contains(
+            F.array(*[F.lit(m) for m in markers]), x))).alias(f"s_{lang}")
+        for lang, markers in _LANG_MARKERS.items()
+    ]
+    scored = df.select(F.col(id_col), *scores)
+    langs = list(_LANG_MARKERS)
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
+    pick = F.when(best == 0, F.lit("und"))
+    for lg in langs:  # first language reaching the max wins (stable)
+        pick = pick.when(F.col(f"s_{lg}") == best, F.lit(lg))
+    return scored.select(id_col, pick.alias("lang_pred"),
+                         *[F.col(f"s_{lg}") for lg in langs])
+
+
+def make_fingerprint_udf(id_name: str, text_name: str, window: int = 16):
+    """Winnowing-style fingerprint: min rolling hash over each document
+    (one uint64 per doc) — vectorized numpy rolling polynomial hash."""
+
+    def udf(iterator):
+        base = np.uint64(1099511628211)
+        for tbl in iterator:
+            texts = tbl.column(text_name).to_pandas()
+            fps = np.zeros(len(texts), dtype=np.int64)
+            for i, t in enumerate(texts):
+                b = np.frombuffer(t.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+                if len(b) == 0:
+                    continue
+                w = min(window, len(b))
+                h = np.zeros(len(b) - w + 1, dtype=np.uint64)
+                for k in range(w):
+                    h = h * base + b[k : len(b) - w + 1 + k].astype(np.uint64)
+                fps[i] = np.int64(h.min() & np.uint64(0x7FFFFFFFFFFFFFFF))
+            yield pa.RecordBatch.from_arrays(
+                [tbl.column(id_name), pa.array(fps, type=pa.int64())],
+                names=[id_name, "fingerprint"],
+            )
+
+    return udf
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str, window: int = 16) -> DataFrame:
+    src = df.select(id_col, text_col)
+    return src.mapInArrow(make_fingerprint_udf(id_col, text_col, window),
+                          f"{id_col} long, fingerprint long")
