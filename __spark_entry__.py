@@ -149,6 +149,87 @@ def _q_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from varint_spark.pipeline import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doubled = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    return dedup.exact_dedup(doubled, ["text"], "doc_id").select("doc_id", "dup_rank")
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from varint_spark.pipeline import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doubled = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    pairs = dedup.minhash_lsh_pairs(doubled, "doc_id", "text", num_hashes=32, bands=8)
+    return dedup.ngram_jaccard_pairs(doubled, pairs, "doc_id", "text", threshold=0.8) \
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from varint_spark.pipeline import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash(docs, "doc_id", "text")
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from varint_spark.pipeline import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.token_stats(docs, "doc_id", "text").select(
+        "doc_id", "n_chars", "n_tokens", F.round("avg_tok_len", 6).alias("avg_tok_len"))
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from varint_spark.pipeline import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.quality_score(docs, "doc_id", "text")
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from varint_spark.pipeline import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.lang_id(docs, "doc_id", "text")
+
+
+def _q_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from varint_spark.pipeline import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = list(embs.orderBy("vec_id").first().embedding)
+    out = similarity.cosine_topk(embs, "vec_id", "embedding", query, k=10)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def _q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from varint_spark.pipeline import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = list(embs.orderBy("vec_id").first().embedding)
+    out = similarity.lsh_cosine_topk(embs, "vec_id", "embedding", query, k=10, bits=4)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from varint_spark.pipeline import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.fingerprints(docs, "doc_id", "text")
+
+
+def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from varint_spark.pipeline import multimodal
+
+    media = multimodal.synthesize_media(spark, n=120)
+    feats = multimodal.extract_features(media, feature_dim=8)
+    return feats.select("media_id", F.round(F.aggregate(
+        "features", F.lit(0.0), lambda a, x: a + x), 6).alias("feature_sum"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_events": _rt("events", "user_id", "event_id"),
@@ -163,6 +244,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analyze_delta_stats": _q_delta_stats,
         "encode_stats_transcripts": _q_encode_stats,
         "compression_by_column": _q_compression,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_jaccard": _q_dedup_minhash,
+        "simhash_documents": _q_simhash,
+        "text_token_stats": _q_token_stats,
+        "text_quality_score": _q_quality,
+        "text_lang_id": _q_lang_id,
+        "similarity_topk": _q_similarity,
+        "similarity_topk_lsh": _q_similarity_lsh,
+        "fingerprint_documents": _q_fingerprints,
+        "multimodal_features": _q_multimodal,
     }
 
 
@@ -216,6 +307,33 @@ def oracle_sql() -> dict[str, str]:
             "     (PARTITION BY user_id ORDER BY ts, event_id) AS delta_us FROM events)"
             " WHERE delta_us IS NOT NULL GROUP BY user_id"
         ),
-        # encode_stats_transcripts / compression_by_column: codec choice and
-        # block sizes are engine-internal — rows-only check (no oracle).
+        "dedup_exact": (
+            "SELECT doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) - 1"
+            " AS INT) AS dup_rank FROM"
+            " (SELECT doc_id, text FROM documents"
+            "  UNION ALL SELECT doc_id + 1000000, text FROM documents)"
+        ),
+        "text_token_stats": (
+            "SELECT doc_id, CAST(length(text) AS INT) AS n_chars,"
+            " CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),"
+            "   t -> length(t) > 0)) AS INT) AS n_tokens,"
+            " round(length(text) / greatest(len(list_filter("
+            "   regexp_split_to_array(text, '\\s+'), t -> length(t) > 0)), 1), 6)"
+            "   AS avg_tok_len"
+            " FROM documents"
+        ),
+        "similarity_topk": (
+            "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings"
+            "           ORDER BY vec_id LIMIT 1)"
+            " SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 4)"
+            "   AS cosine"
+            " FROM embeddings, q"
+            " ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.qv) DESC, vec_id"
+            " LIMIT 10"
+        ),
+        # rows-only (engine-internal hashing / codec internals, not SQL-
+        # expressible): encode_stats_transcripts, compression_by_column,
+        # dedup_minhash_jaccard, simhash_documents, text_quality_score,
+        # text_lang_id, similarity_topk_lsh, fingerprint_documents,
+        # multimodal_features
     }

@@ -120,7 +120,8 @@ def run_scaling() -> None:
     """Same encode job at local[8] vs local[32]; efficiency = T8_rate×? —
     per BASELINE.json: throughput scaling efficiency ≥ 0.8 from N to 4N."""
     results = {}
-    for cpus in ("8", "32"):
+    n_low, n_high = os.environ.get("SPARK_GRAFT_SCALE_PAIR", "4,16").split(",")
+    for cpus in (n_low, n_high):
         # big enough that codec compute dominates scheduler/serde overhead
         env = dict(os.environ, SPARK_GRAFT_CPUS=cpus, SPARK_GRAFT_SF_DIR=SF_DIR,
                    SPARK_GRAFT_BENCH_CONVS=os.environ.get("SPARK_GRAFT_BENCH_CONVS", "700000"))
@@ -130,26 +131,28 @@ def run_scaling() -> None:
         )
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         results[cpus] = json.loads(line)
-    r8, r32 = results["8"]["turns_per_sec"], results["32"]["turns_per_sec"]
-    eff = (r32 / r8) / 4.0
+    r8, r32 = results[n_low]["turns_per_sec"], results[n_high]["turns_per_sec"]
+    eff = (r32 / r8) / (int(n_high) / int(n_low))
     md = f"""# BENCH — two-parallelism scaling evidence
 
-Same encode job (synthetic transcript table, {results['32']['n_turns']:,} turns,
-sf={results['32']['sf']}) at two parallelism levels on one host —
-`local[8]` vs `local[32]` standing in for N vs 4N executors
-(BASELINE.json north rule; no real cluster in this sandbox).
+Same encode job (synthetic transcript table, {results[n_high]['n_turns']:,} turns,
+sf={results[n_high]['sf']}) at two parallelism levels on one host —
+`local[{n_low}]` vs `local[{n_high}]` standing in for N vs 4N executors
+(BASELINE.json north rule; no real cluster in this sandbox — the pair is
+sized to the machine's *available* cores, since the sandbox VM carries
+~7 cores of permanent host-side load that would starve a local[32] run).
 
 | parallelism | encode wall (s) | turns/sec | compression ratio |
 |---|---|---|---|
-| local[8]  (N)  | {results['8']['queries']['encode_transcripts']} | {r8:,.0f} | {results['8']['compression_ratio']} |
-| local[32] (4N) | {results['32']['queries']['encode_transcripts']} | {r32:,.0f} | {results['32']['compression_ratio']} |
+| local[{n_low}]  (N)  | {results[n_low]['queries']['encode_transcripts']} | {r8:,.0f} | {results[n_low]['compression_ratio']} |
+| local[{n_high}] (4N) | {results[n_high]['queries']['encode_transcripts']} | {r32:,.0f} | {results[n_high]['compression_ratio']} |
 
 **Scaling efficiency (N→4N): {eff:.3f}** (target ≥ 0.8 — note single-host
 stand-in shares memory bandwidth; on a real 4N-executor cluster the encode
 stage is embarrassingly parallel after its single shuffle).
 
 Compressed size vs reference-faithful varint stream (int columns):
-encoded/varint = {1/results['32']['vs_varint_floor']:.3f} (≤ 1.0 means we
+encoded/varint = {1/results[n_high]['vs_varint_floor']:.3f} (≤ 1.0 means we
 beat the reference floor; string columns have no reference codec).
 """
     (REPO / "BENCH").mkdir(exist_ok=True)
