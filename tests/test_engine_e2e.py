@@ -91,3 +91,12 @@ def test_nulls_roundtrip(spark):
     blocks = encode_transcripts(df, OPTS)
     decoded = decode_blocks(blocks, transcripts.TRANSCRIPT_DDL)
     pd.testing.assert_frame_equal(_sorted_pdf(df), _sorted_pdf(decoded))
+
+
+def test_column_pruned_decode(spark, small_transcripts):
+    blocks = encode_transcripts(small_transcripts, OPTS)
+    out = decode_blocks(blocks, transcripts.TRANSCRIPT_DDL, columns=["conv_id", "ts"])
+    assert out.columns == ["conv_id", "ts"]
+    left = small_transcripts.select("conv_id", "ts").orderBy("conv_id", "ts").toPandas()
+    right = out.orderBy("conv_id", "ts").toPandas()
+    pd.testing.assert_frame_equal(left.reset_index(drop=True), right.reset_index(drop=True))

@@ -262,9 +262,19 @@ def kinds_for_ddl(schema_ddl: str) -> dict[str, str]:
 
 
 def decode_blocks(blocks: DataFrame, schema_ddl: str, kinds: dict[str, str] | None = None,
-                  shared=None) -> DataFrame:
-    """Encoded block rows -> original rows (order-insensitive)."""
-    cols = [f.strip().split()[0] for f in schema_ddl.split(",")]
+                  shared=None, columns: list[str] | None = None) -> DataFrame:
+    """Encoded block rows -> original rows (order-insensitive).
+
+    ``columns``: optional projection — only those columns' blocks are read
+    and decoded (the column-pruning analog for the block store: the filter
+    on ``column`` pushes down into the blocks parquet scan, so pruned
+    columns' bytes never leave disk)."""
+    fields = [f.strip() for f in schema_ddl.split(",")]
+    if columns:
+        fields = [f for f in fields if f.split()[0] in set(columns)]
+        schema_ddl = ", ".join(fields)
+        blocks = blocks.filter(F.col("column").isin(list(columns)))
+    cols = [f.split()[0] for f in fields]
     kinds = kinds or kinds_for_ddl(schema_ddl)
     fn = make_decode_udf(kinds, cols, shared)
     return blocks.groupBy("part_key", "chunk_id").applyInArrow(fn, schema_ddl)
