@@ -38,16 +38,24 @@ def _pair_codes(corpus: np.ndarray) -> np.ndarray:
 
 
 def _match_mask(pairs: np.ndarray, n_corpus: int, sym_lookup: np.ndarray) -> np.ndarray:
-    """Boolean mask of positions starting a kept (non-overlapping) symbol."""
+    """Boolean mask of positions starting a kept (non-overlapping) symbol.
+
+    Greedy-left resolution: within each maximal run of consecutive matches
+    keep every other one — computed via a running maximum of run-start
+    indices (int32 throughout: the per-chunk corpus is ≪ 2^31 bytes)."""
     m = sym_lookup[pairs] >= 0
     if not m.any():
         return np.zeros(n_corpus, dtype=bool)
-    idx = np.arange(len(m), dtype=np.int64)
-    prev = np.concatenate([[False], m[:-1]])
-    is_run_start = m & ~prev
-    run_start = np.maximum.accumulate(np.where(is_run_start, idx, -1))
-    keep = m & (((idx - run_start) & 1) == 0)
-    return np.concatenate([keep, [False]])
+    idx = np.arange(len(m), dtype=np.int32)
+    is_run_start = m.copy()
+    is_run_start[1:] &= ~m[:-1]
+    run_start = np.where(is_run_start, idx, np.int32(-1))
+    np.maximum.accumulate(run_start, out=run_start)
+    keep = np.empty(n_corpus, dtype=bool)
+    keep[:-1] = m
+    keep[:-1] &= ((idx - run_start) & np.int32(1)) == 0
+    keep[-1] = False
+    return keep
 
 
 def _compress_round(corpus: np.ndarray, free_codes: np.ndarray, max_syms: int):
@@ -66,9 +74,14 @@ def _compress_round(corpus: np.ndarray, free_codes: np.ndarray, max_syms: int):
     sym_lookup = np.full(65536, -1, dtype=np.int32)
     sym_lookup[top] = np.arange(len(top), dtype=np.int32)
     keep = _match_mask(pairs, len(corpus), sym_lookup)
-    covered_second = np.concatenate([[False], keep[:-1]])
-    out_sizes = np.where(keep, 1, np.where(covered_second, 0, 1)).astype(np.int64)
-    offsets = np.concatenate([[0], np.cumsum(out_sizes[:-1])])
+    covered_second = np.empty(len(keep), dtype=bool)
+    covered_second[0] = False
+    covered_second[1:] = keep[:-1]
+    out_sizes = np.ones(len(keep), dtype=np.int64)
+    out_sizes[covered_second] = 0
+    offsets = np.empty(len(keep), dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(out_sizes[:-1], out=offsets[1:])
     total = int(out_sizes.sum())
     if total + 3 * len(top) + 2 >= len(corpus):  # not worth the table bytes
         return None
@@ -159,9 +172,14 @@ def apply_tables(corpus: np.ndarray, tables: bytes) -> np.ndarray | None:
         sym_lookup[pair_vals] = np.arange(len(codes), dtype=np.int32)
         pairs = _pair_codes(c) if len(c) > 1 else np.empty(0, dtype=np.uint16)
         keep = _match_mask(pairs, len(c), sym_lookup)
-        covered_second = np.concatenate([[False], keep[:-1]])
-        out_sizes = np.where(keep, 1, np.where(covered_second, 0, 1)).astype(np.int64)
-        offsets = np.concatenate([[0], np.cumsum(out_sizes[:-1])])
+        covered_second = np.empty(len(keep), dtype=bool)
+        covered_second[0] = False
+        covered_second[1:] = keep[:-1]
+        out_sizes = np.ones(len(keep), dtype=np.int64)
+        out_sizes[covered_second] = 0
+        offsets = np.empty(len(keep), dtype=np.int64)
+        offsets[0] = 0
+        np.cumsum(out_sizes[:-1], out=offsets[1:])
         out = np.empty(int(out_sizes.sum()), dtype=np.uint8)
         kept_pairs = pairs[keep[:-1]] if len(c) > 1 else pairs[:0]
         out[offsets[keep]] = codes[sym_lookup[kept_pairs]]

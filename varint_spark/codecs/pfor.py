@@ -89,3 +89,24 @@ def decode(buf: memoryview | bytes, count: int) -> np.ndarray:
         exc_vals = leb128.decode(rest[pos_stream_end:], n_exc)
         offs[exc_pos] = exc_vals
     return (offs + np.int64(mn).astype(np.uint64)).view(np.int64)
+
+
+def encoded_size(values: np.ndarray) -> int:
+    """Analytic size via the same cost sweep encode uses (exact)."""
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    if len(v) == 0:
+        return 0
+    mn, offs = _offsets(v)
+    width = _best_width(offs)
+    limit = np.uint64((1 << width) - 1) if width < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
+    exc_mask = offs > limit
+    exc_pos = np.flatnonzero(exc_mask).astype(np.int64)
+    exc_vals = offs[exc_mask]
+    zz = zigzag.encode(np.array([mn], dtype=np.int64))
+    sz = int(leb128.encoded_sizes(zz)[0]) + 1
+    sz += bitpack.packed_size(len(v), width)
+    sz += len(blocks.put_uvarint(len(exc_pos)))
+    if len(exc_pos):
+        sz += int(leb128.encoded_sizes(np.diff(exc_pos, prepend=np.int64(0)).astype(np.uint64)).sum())
+        sz += int(leb128.encoded_sizes(exc_vals).sum())
+    return sz

@@ -106,27 +106,38 @@ def candidate_int_codecs(s: IntStats) -> list[int]:
     return cands[:4]
 
 
+_INT_SIZERS = {
+    LEB128_ZZ: varint.encoded_size,
+    DELTA: delta.encoded_size,
+    FOR: foref.encoded_size,
+    PFOR: pfor.encoded_size,
+    RLE_INT: rle.encoded_size,
+    DICT_INT: dict_codec.encoded_size,
+}
+
+
 def encode_int_block(values: np.ndarray, stats: IntStats | None = None) -> bytes:
-    """int64 array -> self-describing block, cost-gated."""
+    """int64 array -> self-describing block, cost-gated.
+
+    The cost gate uses **exact analytic sizes** (each codec's
+    ``encoded_size`` reproduces its encode arithmetic without building the
+    bytes), so only the winning codec is actually encoded — the stats pass
+    + size sweep is the engine's ``varintAdaptiveAnalyze``, the argmin is
+    ``varintAdaptiveSelectEncoding``, with exact costs instead of the
+    reference's heuristic thresholds."""
     v = np.ascontiguousarray(values, dtype=np.int64)
     n = len(v)
     if n == 0:
         return blocks.pack_block(PLAIN_INT, 0, b"")
     s = stats or analyze_ints(v)
-    best_id, best_payload = None, None
-    for cid in candidate_int_codecs(s):
-        payload = _INT_ENCODERS[cid](v)
-        if best_payload is None or len(payload) < len(best_payload):
-            best_id, best_payload = cid, payload
-    # floors: reference-faithful varint stream, then plain
-    varint_size = varint.encoded_size(v)
-    if best_payload is None or varint_size < len(best_payload):
-        cand = varint.encode(v)
-        if best_payload is None or len(cand) < len(best_payload):
-            best_id, best_payload = LEB128_ZZ, cand
-    if 8 * n < len(best_payload):
-        best_id, best_payload = PLAIN_INT, plain.encode_int(v)
-    return blocks.pack_block(best_id, n, best_payload)
+    # floors always compete: varint stream (reference-faithful) and plain
+    best_id, best_size = PLAIN_INT, 8 * n
+    for cid in (*candidate_int_codecs(s), LEB128_ZZ):
+        size = _INT_SIZERS[cid](v)
+        if size < best_size:
+            best_id, best_size = cid, size
+    payload = _INT_ENCODERS[best_id](v)
+    return blocks.pack_block(best_id, n, payload)
 
 
 def decode_int_block(buf: bytes | memoryview) -> np.ndarray:
