@@ -170,3 +170,44 @@ def test_analytic_sizes_match():
             assert foref.encoded_size(v) == len(foref.encode(v)), name
             assert rle.encoded_size(v) == len(rle.encode(v)), name
             assert dict_codec.encoded_size(v) == len(dict_codec.encode(v)), name
+
+
+def test_f64xor_roundtrip_and_ratio():
+    from varint_spark.codecs import f64xor
+    rng = np.random.default_rng(9)
+    # slowly-drifting sensor-ish series: XOR codec's sweet spot
+    vals = np.cumsum(rng.normal(0, 0.001, size=10_000)) + 100.0
+    bits = vals.view(np.int64)
+    buf = f64xor.encode(bits)
+    assert f64xor.encoded_size(bits) == len(buf)
+    out = f64xor.decode(buf, len(bits))
+    np.testing.assert_array_equal(out, bits)
+    assert len(buf) < 0.9 * bits.nbytes
+    # NaN / inf / -0.0 bit patterns survive exactly
+    weird = np.array([0.0, -0.0, np.nan, np.inf, -np.inf, 1e-308, 1e308]).view(np.int64)
+    np.testing.assert_array_equal(f64xor.decode(f64xor.encode(weird), len(weird)), weird)
+
+
+def test_f64_column_selection_and_roundtrip():
+    import pyarrow as pa
+    from varint_spark import selector
+    rng = np.random.default_rng(10)
+    # smooth series: several codecs compete (FOR on bit patterns, delta,
+    # xor) — the gate must pick something that beats raw by >20%
+    vals = np.cumsum(rng.normal(0, 0.001, size=5000)) + 50.0
+    blk = selector.encode_column(pa.array(vals.view(np.int64)), "f64")
+    assert selector.codec_name_of(blk) in ("f64_xor", "for", "delta", "pfor")
+    assert len(blk) < 0.8 * vals.nbytes
+    out = selector.decode_column(blk).to_numpy(zero_copy_only=False)
+    np.testing.assert_array_equal(out.astype(np.int64), vals.view(np.int64))
+
+    # gate guarantee: whatever wins is never larger than the xor candidate
+    # (xor competes for every f64 chunk)
+    from varint_spark.codecs import f64xor
+    mags = 100.0 + rng.normal(0, 1e-12, size=5000)
+    alt = mags * np.where(np.arange(5000) % 2 == 0, 1.0, -1.0)
+    bits = alt.view(np.int64)
+    blk = selector.encode_column(pa.array(bits), "f64")
+    assert len(blk) <= f64xor.encoded_size(bits) + 16
+    out = selector.decode_column(blk).to_numpy(zero_copy_only=False)
+    np.testing.assert_array_equal(out.astype(np.int64), bits)

@@ -1,0 +1,109 @@
+"""Random access into encoded blocks without full decode.
+
+Parity with the reference's partial-decode surface (SURVEY §2.A.5):
+
+* FOR — O(1) per value, fixed bit stride (``varintFORGetAt``,
+  reference src/varintFOR.c:182-201)
+* PFOR — O(1) body + O(log n_exc) exception lookup (``varintPFORGetAt``,
+  src/varintPFOR.c:261)
+* RLE — O(runs) cumulative-length search (``varintRLEGetAt``,
+  src/varintRLE.c:226)
+* DICT — O(1) index + dictionary entry
+* PLAIN — O(1)
+
+plus range (slice) decode for FOR — the building block for decoding only
+the blocks/rows a predicate selects ("decode only needed blocks",
+``varintFORDecodeBlock`` src/varintFOR.c:597).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import bitpack, blocks, delta, leb128, pfor, rle, zigzag
+from .blocks import DELTA, DICT_INT, FOR, LEB128_ZZ, PFOR, PLAIN_INT, RLE_INT
+
+
+def _unpack_range(buf: np.ndarray, width: int, start: int, n: int) -> np.ndarray:
+    """Bit-exact slice of a packed array: unpack only the covering bytes."""
+    if n == 0 or width == 0:
+        return np.zeros(n, dtype=np.uint64)
+    bit0 = start * width
+    byte0 = bit0 // 8
+    byte1 = (bit0 + n * width + 7) // 8
+    bits = np.unpackbits(buf[byte0:byte1], bitorder="little")
+    lead = bit0 - byte0 * 8
+    bits = bits[lead : lead + n * width].reshape(n, width).astype(np.uint64)
+    shifts = np.arange(width, dtype=np.uint64)
+    return (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+def for_get_range(payload: memoryview | bytes, count: int, start: int, n: int) -> np.ndarray:
+    """FOR payload -> values[start:start+n] (O(n), touches only n*width bits)."""
+    mv = memoryview(payload)
+    mn_zz, pos = blocks.take_uvarint(mv, 0)
+    mn = int(zigzag.decode(np.array([mn_zz], dtype=np.uint64))[0])
+    width = mv[pos]
+    body = np.frombuffer(mv[pos + 1 :], dtype=np.uint8)
+    offs = _unpack_range(body, width, start, n)
+    return (offs + np.int64(mn).astype(np.uint64)).view(np.int64)
+
+
+def rle_get_at(payload: memoryview | bytes, count: int, idx: int) -> int:
+    """RLE payload -> value at idx via cumulative run lengths (O(runs))."""
+    mv = memoryview(payload)
+    n_runs, pos = blocks.take_uvarint(mv, 0)
+    rest = np.frombuffer(mv[pos:], dtype=np.uint8)
+    term = (rest & 0x80) == 0
+    ends = np.flatnonzero(term)
+    len_end = int(ends[n_runs - 1]) + 1
+    lengths = leb128.decode(rest[:len_end], n_runs).astype(np.int64)
+    cum = np.cumsum(lengths)
+    run = int(np.searchsorted(cum, idx, side="right"))
+    vals = zigzag.decode(leb128.decode(rest[len_end:], n_runs))
+    return int(vals[run])
+
+
+def get_at(block: bytes | memoryview, idx: int) -> int:
+    """Self-describing int block -> value at position ``idx`` without full
+    decode (falls back to full decode for stream codecs where random
+    access is inherently sequential: DELTA / LEB128_ZZ)."""
+    cid, count, payload = blocks.unpack_block(block)
+    if not 0 <= idx < count:
+        raise IndexError(idx)
+    if cid == PLAIN_INT:
+        return int(np.frombuffer(payload, dtype="<i8", count=1, offset=8 * idx)[0])
+    if cid == FOR:
+        return int(for_get_range(payload, count, idx, 1)[0])
+    if cid == PFOR:
+        return int(pfor.decode(payload, count)[idx])  # body O(1) + exceptions
+    if cid == RLE_INT:
+        return rle_get_at(payload, count, idx)
+    if cid == DICT_INT:
+        mv = memoryview(payload)
+        n_uniq, pos = blocks.take_uvarint(mv, 0)
+        rest = np.frombuffer(mv[pos:], dtype=np.uint8)
+        term = (rest & 0x80) == 0
+        ends = np.flatnonzero(term)
+        dict_end = int(ends[n_uniq - 1]) + 1
+        uniq = delta.decode(rest[:dict_end], n_uniq)
+        width = int(rest[dict_end])
+        code = int(_unpack_range(rest[dict_end + 1 :], width, idx, 1)[0]) if width else 0
+        return int(uniq[code])
+    if cid in (DELTA, LEB128_ZZ):
+        from ..selector import decode_int_block
+        return int(decode_int_block(block)[idx])
+    raise ValueError(f"get_at: unsupported codec {cid}")
+
+
+def get_range(block: bytes | memoryview, start: int, n: int) -> np.ndarray:
+    """Slice decode; O(n) for FOR/PLAIN, full decode otherwise."""
+    cid, count, payload = blocks.unpack_block(block)
+    if not (0 <= start and start + n <= count):
+        raise IndexError((start, n, count))
+    if cid == PLAIN_INT:
+        return np.frombuffer(payload, dtype="<i8", count=n, offset=8 * start).astype(np.int64)
+    if cid == FOR:
+        return for_get_range(payload, count, start, n)
+    from ..selector import decode_int_block
+    return decode_int_block(block)[start : start + n]

@@ -129,7 +129,7 @@ def _encode_chunk_rows(columns: dict[str, pa.Array], n: int, part_key: str,
             raw_bytes = 8 * n
             dense = arr.drop_null() if arr.null_count else arr
             vb = varint.encoded_size(dense.to_numpy(zero_copy_only=False).astype(np.int64))
-            block = encode_column(arr, "int")
+            block = encode_column(arr, "f64" if kind == "f64" else "int")
         else:
             lens = pa.compute.binary_length(arr)
             raw_bytes = int(pa.compute.sum(lens).as_py() or 0) + 4 * n  # data + 4B offsets

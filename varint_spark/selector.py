@@ -23,10 +23,11 @@ from dataclasses import dataclass
 import numpy as np
 import pyarrow as pa
 
-from .codecs import blocks, bitpack, delta, dict_codec, foref, leb128, pfor, plain, rle, strings, varint
+from .codecs import blocks, bitpack, delta, dict_codec, f64xor, foref, leb128, pfor, plain, rle, strings, varint
 from .codecs.blocks import (
-    DELTA, DICT_INT, DICT_STR, DICT_STR_SHARED, FOR, FSST_STR, FSST_STR_SHARED,
-    LEB128_ZZ, NULLABLE, PFOR, PLAIN_INT, PLAIN_STR, RLE_INT, CODEC_NAMES,
+    DELTA, DICT_INT, DICT_STR, DICT_STR_SHARED, F64_XOR, FOR, FSST_STR,
+    FSST_STR_SHARED, LEB128_ZZ, NULLABLE, PFOR, PLAIN_INT, PLAIN_STR, RLE_INT,
+    CODEC_NAMES,
 )
 
 SAMPLE_THRESHOLD = 10_000  # beyond this, sample every 10th value (ref :77-125)
@@ -77,6 +78,7 @@ _INT_ENCODERS = {
     PFOR: pfor.encode,
     RLE_INT: rle.encode,
     DICT_INT: dict_codec.encode,
+    F64_XOR: f64xor.encode,
 }
 _INT_DECODERS = {
     PLAIN_INT: plain.decode_int,
@@ -86,6 +88,7 @@ _INT_DECODERS = {
     PFOR: pfor.decode,
     RLE_INT: rle.decode,
     DICT_INT: dict_codec.decode,
+    F64_XOR: f64xor.decode,
 }
 
 
@@ -113,10 +116,12 @@ _INT_SIZERS = {
     PFOR: pfor.encoded_size,
     RLE_INT: rle.encoded_size,
     DICT_INT: dict_codec.encoded_size,
+    F64_XOR: f64xor.encoded_size,
 }
 
 
-def encode_int_block(values: np.ndarray, stats: IntStats | None = None) -> bytes:
+def encode_int_block(values: np.ndarray, stats: IntStats | None = None,
+                     is_f64_bits: bool = False) -> bytes:
     """int64 array -> self-describing block, cost-gated.
 
     The cost gate uses **exact analytic sizes** (each codec's
@@ -132,7 +137,10 @@ def encode_int_block(values: np.ndarray, stats: IntStats | None = None) -> bytes
     s = stats or analyze_ints(v)
     # floors always compete: varint stream (reference-faithful) and plain
     best_id, best_size = PLAIN_INT, 8 * n
-    for cid in (*candidate_int_codecs(s), LEB128_ZZ):
+    cands = candidate_int_codecs(s)
+    if is_f64_bits:
+        cands = [F64_XOR, *cands]  # float-aware candidate (Gorilla XOR)
+    for cid in (*cands, LEB128_ZZ):
         size = _INT_SIZERS[cid](v)
         if size < best_size:
             best_id, best_size = cid, size
@@ -252,11 +260,16 @@ def encode_column(values: pa.Array, kind: str, shared_col=None) -> bytes:
     if values.null_count:
         valid = ~np.asarray(values.is_null())
         dense = values.drop_null()
-        inner = encode_int_block(dense.to_numpy(zero_copy_only=False).astype(np.int64)) if kind == "int" else encode_str_block(dense, shared_col)
+        if kind == "str":
+            inner = encode_str_block(dense, shared_col)
+        else:
+            inner = encode_int_block(dense.to_numpy(zero_copy_only=False).astype(np.int64),
+                                     is_f64_bits=(kind == "f64"))
         return _wrap_nullable(valid, inner)
-    if kind == "int":
-        return encode_int_block(values.to_numpy(zero_copy_only=False).astype(np.int64))
-    return encode_str_block(values, shared_col)
+    if kind == "str":
+        return encode_str_block(values, shared_col)
+    return encode_int_block(values.to_numpy(zero_copy_only=False).astype(np.int64),
+                            is_f64_bits=(kind == "f64"))
 
 
 def decode_column(buf: bytes | memoryview, shared_col=None) -> pa.Array:
