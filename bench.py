@@ -7,9 +7,11 @@ Default: run headline queries at $SPARK_GRAFT_SF_DIR (default
      "queries": {...per-query sec...}, "sf": ...,
      "turns_per_sec": ..., "compression_ratio": ..., ...}
 
-``--scaling``: run the encode job at local[8] and local[32] (N vs 4N
-executors stand-in per BASELINE.json) in subprocesses and write
-BENCH/BASELINE.md with both throughputs + scaling efficiency.
+``--scaling``: run the same encode job at two parallelism levels (default
+local[4] vs local[16] — N vs 4N executors stand-in per BASELINE.json,
+sized to the sandbox's available cores; override with
+SPARK_GRAFT_SCALE_PAIR=8,32) in subprocesses and write BENCH/BASELINE.md
+with both throughputs + scaling efficiency.
 """
 
 from __future__ import annotations

@@ -6,7 +6,7 @@ Stage plan (SURVEY §3, "thread/process/node boundaries"):
    num_buckets; salt = turn_idx // salt_span splits hot conversations
    deterministically without a pre-count (AQE does not rebalance
    ``groupBy().applyInPandas`` groups, so skew handling is explicit here).
-2. Per group, inside ONE ``applyInPandas`` call: stable sort by
+2. Per group, inside ONE ``applyInArrow`` call: stable sort by
    (conv_id, turn_idx) → fixed-size chunking → per-column stats → codec
    selection → encode → emit one block row per (chunk, column). Steps never
    re-cross the JVM↔Python boundary (the Arrow channel is crossed exactly
@@ -28,12 +28,9 @@ import hashlib
 from dataclasses import dataclass
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
-from pyspark.sql import DataFrame, functions as F
-
-from pyspark.sql import types as T
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from .codecs import varint
 from .selector import codec_name_of, decode_column, encode_column
@@ -201,7 +198,8 @@ def with_partition_keys(df: DataFrame, opts: EncodeOptions) -> DataFrame:
     return df.withColumn(
         "_bucket", F.pmod(F.hash(F.col(opts.group_col)), F.lit(opts.num_buckets)).cast("int")
     ).withColumn(
-        "_salt", (F.col(opts.order_col).cast("long") / F.lit(opts.salt_span)).cast("int")
+        # integer DIV (not double /): exact for the full int64 domain
+        "_salt", F.expr(f"CAST(CAST({opts.order_col} AS BIGINT) DIV {opts.salt_span} AS INT)")
     )
 
 
