@@ -1,0 +1,63 @@
+"""Single-core codec kernel microbench — apples-to-apples with the
+reference's published numbers (BASELINE.md: BP128 200 MB/s scalar encode /
+300 MB/s decode; delta/FOR claims), on the same kind of data
+(reference src/varintCompare.c: bit-width-weighted random uint64)."""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+from varint_spark.codecs import delta, foref, leb128, pfor, rle, varint  # noqa: E402
+
+N = 10_000_000
+
+
+def _best_of(fn, reps=3):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def main() -> None:
+    rng = np.random.default_rng(42)
+    results = {}
+
+    # sorted timestamps (µs) — delta's case
+    ts = np.int64(1.7e15) + np.cumsum(rng.integers(1, 60_000_000, N, dtype=np.int64))
+    # tight cluster — FOR's case
+    cluster = rng.integers(10_000_000, 10_001_000, N, dtype=np.int64)
+    # bit-width-weighted random — varint stream case (ref varintCompare.c:28-35)
+    raw = rng.integers(0, 2**63, N, dtype=np.int64).view(np.uint64)
+    nbits = rng.integers(0, 64, N)
+    mask = (np.uint64(1) << nbits.astype(np.uint64)) - np.uint64(1)
+    weighted = (raw & mask).view(np.int64)
+
+    for name, codec, data in [
+        ("delta_sorted_ts", delta, ts),
+        ("for_tight_cluster", foref, cluster),
+        ("varint_bitweighted", varint, weighted),
+        ("pfor_tight_cluster", pfor, cluster),
+    ]:
+        t_enc, buf = _best_of(lambda c=codec, d=data: c.encode(d))
+        t_dec, out = _best_of(lambda c=codec, b=buf: c.decode(b, N))
+        assert np.array_equal(out, data), name
+        results[name] = {
+            "encode_MBps": round(data.nbytes / t_enc / 1e6, 1),
+            "decode_MBps": round(data.nbytes / t_dec / 1e6, 1),
+            "ratio": round(data.nbytes / len(buf), 2),
+        }
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()

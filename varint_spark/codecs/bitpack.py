@@ -21,16 +21,19 @@ def bits_needed(max_value: int) -> int:
 
 
 def pack(values: np.ndarray, width: int) -> bytes:
-    """Pack each value into ``width`` bits, little-endian bit order."""
+    """Pack each value into ``width`` bits, little-endian bit order.
+
+    Pure byte-plane kernel: view the uint64s as (n, 8) little-endian bytes,
+    ``unpackbits`` to a (n, 64) bit matrix (C speed), slice the low
+    ``width`` bit columns, ``packbits`` flat — no Python-level bit math."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0 or width == 0:
         return b""
     if width > 64:
         raise ValueError(f"width {width} > 64")
-    # (n, width) bit matrix -> flat little-endian bitstream.
-    shifts = np.arange(width, dtype=np.uint64)
-    bits = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+    byte_view = v.view(np.uint8).reshape(n, 8)
+    bits = np.unpackbits(byte_view, axis=1, bitorder="little")[:, :width]
     return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
 
 
@@ -42,10 +45,11 @@ def unpack(buf: bytes | np.ndarray, width: int, count: int) -> np.ndarray:
     need = (count * width + 7) // 8
     if len(b) < need:
         raise ValueError(f"bitpack buffer too short: {len(b)} < {need}")
-    bits = np.unpackbits(b[:need], count=count * width, bitorder="little")
-    bits = bits.reshape(count, width).astype(np.uint64)
-    shifts = np.arange(width, dtype=np.uint64)
-    return (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    bits = np.unpackbits(b[:need], count=count * width, bitorder="little").reshape(count, width)
+    packed = np.packbits(bits, axis=1, bitorder="little")  # (count, ceil(width/8))
+    full = np.zeros((count, 8), dtype=np.uint8)
+    full[:, : packed.shape[1]] = packed
+    return full.reshape(-1).view(np.uint64)
 
 
 def packed_size(count: int, width: int) -> int:

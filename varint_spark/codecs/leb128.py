@@ -35,6 +35,26 @@ def encoded_sizes(values: np.ndarray) -> np.ndarray:
     return nbytes
 
 
+_TILE = 1 << 20  # values per tile: bounds the (tile, 10) scratch to ~10-80 MB
+_SHIFTS = np.arange(10, dtype=np.uint64) * _U64(7)
+_PLANE_IDX = np.arange(10, dtype=np.int64)
+
+
+def _encode_tile(v: np.ndarray, nbytes: np.ndarray, out: np.ndarray, pos: int) -> int:
+    """Emit one tile: build the (n, maxb) byte matrix, mark continuation
+    bits, then extract the per-row valid prefixes in one boolean-mask pass
+    (C-order extraction concatenates rows — exactly the LEB128 stream)."""
+    maxb = int(nbytes.max())
+    planes = (v[:, None] >> _SHIFTS[None, :maxb]).astype(np.uint8)
+    planes &= np.uint8(0x7F)
+    cont = _PLANE_IDX[None, :maxb] < (nbytes[:, None] - 1)
+    planes[cont] |= _CONT
+    valid = _PLANE_IDX[None, :maxb] < nbytes[:, None]
+    chunk = planes[valid]
+    out[pos : pos + len(chunk)] = chunk
+    return pos + len(chunk)
+
+
 def encode(values: np.ndarray) -> bytes:
     """uint64 array -> LEB128 byte stream."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
@@ -42,19 +62,12 @@ def encode(values: np.ndarray) -> bytes:
     if n == 0:
         return b""
     nbytes = encoded_sizes(v)
-    offsets = np.empty(n, dtype=np.int64)
-    offsets[0] = 0
-    np.cumsum(nbytes[:-1], out=offsets[1:])
-    total = int(offsets[-1] + nbytes[-1])
+    total = int(nbytes.sum())
     out = np.empty(total, dtype=np.uint8)
-    maxb = int(nbytes.max())
-    for j in range(maxb):
-        mask = nbytes > j
-        vals = (v[mask] >> _U64(7 * j)) & _MASK7
-        byte = vals.astype(np.uint8)
-        cont = nbytes[mask] > (j + 1)
-        byte[cont] |= _CONT
-        out[offsets[mask] + j] = byte
+    pos = 0
+    for start in range(0, n, _TILE):
+        end = min(start + _TILE, n)
+        pos = _encode_tile(v[start:end], nbytes[start:end], out, pos)
     return out.tobytes()
 
 
