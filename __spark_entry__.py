@@ -230,6 +230,49 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "features", F.lit(0.0), lambda a, x: a + x), 6).alias("feature_sum"))
 
 
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation — the relational surface the reference
+    lacks and Spark provides natively (SURVEY §2.B)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("count_order"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap set-algebra analog (ref varintBitmapAnd/Or/Xor,
+    src/varintBitmap.c:442-528): AND/OR/ANDNOT on user-id sets via
+    intersect / union / except — Spark's native set operators."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return spark.createDataFrame(
+        [("and", clicks.intersect(buys).count()),
+         ("or", clicks.union(buys).distinct().count()),
+         ("andnot", clicks.exceptAll(clicks.intersect(buys)).count())],
+        "op string, n long",
+    )
+
+
+def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per priority — window top-k (§2.B sorts/limits)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = W.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "rk", "o_orderkey")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_events": _rt("events", "user_id", "event_id"),
@@ -254,6 +297,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk_lsh": _q_similarity_lsh,
         "fingerprint_documents": _q_fingerprints,
         "multimodal_features": _q_multimodal,
+        "q1_pricing_summary": _q_pricing_summary,
+        "set_ops_bitmap_analog": _q_set_ops,
+        "topk_per_group": _q_topk_per_group,
     }
 
 
@@ -330,6 +376,26 @@ def oracle_sql() -> dict[str, str]:
             " FROM embeddings, q"
             " ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.qv) DESC, vec_id"
             " LIMIT 10"
+        ),
+        "q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,"
+            " ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,"
+            " COUNT(*) AS count_order, ROUND(AVG(l_discount), 6) AS avg_disc"
+            " FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"
+            " GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2"
+        ),
+        "set_ops_bitmap_analog": (
+            "WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type='click'),"
+            " b AS (SELECT DISTINCT user_id FROM events WHERE event_type='purchase')"
+            " SELECT 'and' AS op, (SELECT COUNT(*) FROM (SELECT * FROM c INTERSECT SELECT * FROM b)) AS n"
+            " UNION ALL SELECT 'or', (SELECT COUNT(*) FROM (SELECT * FROM c UNION SELECT * FROM b))"
+            " UNION ALL SELECT 'andnot', (SELECT COUNT(*) FROM (SELECT * FROM c EXCEPT SELECT * FROM b))"
+        ),
+        "topk_per_group": (
+            "SELECT o_orderpriority, CAST(rk AS INT) AS rk, o_orderkey FROM ("
+            "  SELECT o_orderpriority, o_orderkey, ROW_NUMBER() OVER ("
+            "    PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rk"
+            "  FROM orders) WHERE rk <= 3"
         ),
         # rows-only (engine-internal hashing / codec internals, not SQL-
         # expressible): encode_stats_transcripts, compression_by_column,
