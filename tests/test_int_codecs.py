@@ -211,3 +211,29 @@ def test_f64_column_selection_and_roundtrip():
     assert len(blk) <= f64xor.encoded_size(bits) + 16
     out = selector.decode_column(blk).to_numpy(zero_copy_only=False)
     np.testing.assert_array_equal(out.astype(np.int64), bits)
+
+
+def test_segdelta_roundtrip_and_wins_on_segmented_ts():
+    from varint_spark.codecs import segdelta, foref, delta
+    rng = np.random.default_rng(11)
+    # 50 conversations, monotonic µs ts inside, random bases across
+    segs = rng.integers(5, 60, size=50).astype(np.int64)
+    parts = []
+    for L in segs:
+        base = np.int64(1.7e15) + rng.integers(0, 30 * 86_400_000_000)
+        parts.append(base + np.cumsum(rng.integers(1_000_000, 60_000_000, L)))
+    v = np.concatenate(parts).astype(np.int64)
+    buf = segdelta.encode(v, segs)
+    np.testing.assert_array_equal(segdelta.decode(buf, len(v)), v)
+    # beats both plain delta and FOR on this shape (nested FOR-on-deltas)
+    assert len(buf) < delta.encoded_size(v)
+    assert len(buf) < foref.encoded_size(v)
+    # turn_idx shape: contiguous 0..L-1 per segment → nested RLE collapses it
+    tix = np.concatenate([np.arange(L, dtype=np.int64) for L in segs])
+    btix = segdelta.encode(tix, segs)
+    np.testing.assert_array_equal(segdelta.decode(btix, len(tix)), tix)
+    assert len(btix) < 0.02 * tix.nbytes
+    # edge: single segment == plain delta semantics
+    one = np.array([5, 7, 6, 100], dtype=np.int64)
+    b1 = segdelta.encode(one, np.array([4]))
+    np.testing.assert_array_equal(segdelta.decode(b1, 4), one)

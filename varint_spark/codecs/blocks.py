@@ -29,6 +29,7 @@ PFOR = 4        # FOR + exception list                  (ref src/varintPFOR.c)
 RLE_INT = 5     # run lengths + run values              (ref src/varintRLE.c)
 DICT_INT = 6    # sorted unique values + packed indices (ref src/varintDict.c)
 F64_XOR = 7     # Gorilla-style XOR-prev over float64 bits (ref src/varintFloat.c)
+SEG_DELTA = 8   # per-segment delta (prevValue threading, ref src/varintBP128.c:347-427)
 # string codecs
 PLAIN_STR = 16  # lengths int-block + concatenated utf-8 bytes
 DICT_STR = 17   # codes int-block + dictionary PLAIN_STR block
@@ -47,6 +48,7 @@ CODEC_NAMES = {
     RLE_INT: "rle_int",
     DICT_INT: "dict_int",
     F64_XOR: "f64_xor",
+    SEG_DELTA: "seg_delta",
     PLAIN_STR: "plain_str",
     DICT_STR: "dict_str",
     FSST_STR: "fsst_str",
@@ -56,7 +58,7 @@ CODEC_NAMES = {
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
-INT_CODECS = (PLAIN_INT, LEB128_ZZ, DELTA, FOR, PFOR, RLE_INT, DICT_INT, F64_XOR)
+INT_CODECS = (PLAIN_INT, LEB128_ZZ, DELTA, FOR, PFOR, RLE_INT, DICT_INT, F64_XOR, SEG_DELTA)
 STR_CODECS = (PLAIN_STR, DICT_STR, FSST_STR, DICT_STR_SHARED, FSST_STR_SHARED)
 
 

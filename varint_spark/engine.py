@@ -115,9 +115,22 @@ def _col_to_int64(arr: pa.Array, kind: str) -> pa.Array:
     return arr
 
 
+def _run_lengths(arr: pa.Array) -> np.ndarray:
+    """Run lengths of consecutive equal values (the conversation segments
+    within a chunk) — drives the segment-aware delta codec."""
+    n = len(arr)
+    if n <= 1:
+        return np.array([n] * (1 if n else 0), dtype=np.int64)
+    neq = pa.compute.not_equal(arr.slice(1), arr.slice(0, n - 1))
+    mask = neq.fill_null(False).to_numpy(zero_copy_only=False).astype(bool)
+    starts = np.concatenate([[0], np.flatnonzero(mask) + 1]).astype(np.int64)
+    return np.diff(np.append(starts, n))
+
+
 def _encode_chunk_rows(columns: dict[str, pa.Array], n: int, part_key: str,
                        chunk_id: int, kinds: dict[str, str],
-                       shared_cols: dict | None = None) -> list[dict]:
+                       shared_cols: dict | None = None,
+                       segments: np.ndarray | None = None) -> list[dict]:
     rows = []
     for col, kind in kinds.items():
         arr = columns[col]
@@ -126,7 +139,8 @@ def _encode_chunk_rows(columns: dict[str, pa.Array], n: int, part_key: str,
             raw_bytes = 8 * n
             dense = arr.drop_null() if arr.null_count else arr
             vb = varint.encoded_size(dense.to_numpy(zero_copy_only=False).astype(np.int64))
-            block = encode_column(arr, "f64" if kind == "f64" else "int")
+            block = encode_column(arr, "f64" if kind == "f64" else "int",
+                                  segments=segments)
         else:
             lens = pa.compute.binary_length(arr)
             raw_bytes = int(pa.compute.sum(lens).as_py() or 0) + 4 * n  # data + 4B offsets
@@ -184,8 +198,9 @@ def make_encode_udf(kinds: dict[str, str], chunk_rows: int, group_col: str,
         for chunk_id, start in enumerate(range(0, n, chunk_rows)):
             m = min(chunk_rows, n - start)
             chunk_cols = {c: a.slice(start, m) for c, a in cols.items()}
+            segments = _run_lengths(chunk_cols[group_col]) if group_col in chunk_cols else None
             out.extend(_encode_chunk_rows(chunk_cols, m, part_key, chunk_id, kinds,
-                                          shared_cols))
+                                          shared_cols, segments))
         return pa.Table.from_pylist(out, schema=_BLOCK_PA_SCHEMA)
 
     return encode_group

@@ -23,11 +23,11 @@ from dataclasses import dataclass
 import numpy as np
 import pyarrow as pa
 
-from .codecs import blocks, bitpack, delta, dict_codec, f64xor, foref, leb128, pfor, plain, rle, strings, varint
+from .codecs import blocks, bitpack, delta, dict_codec, f64xor, foref, leb128, pfor, plain, rle, segdelta, strings, varint
 from .codecs.blocks import (
     DELTA, DICT_INT, DICT_STR, DICT_STR_SHARED, F64_XOR, FOR, FSST_STR,
     FSST_STR_SHARED, LEB128_ZZ, NULLABLE, PFOR, PLAIN_INT, PLAIN_STR, RLE_INT,
-    CODEC_NAMES,
+    SEG_DELTA, CODEC_NAMES,
 )
 
 SAMPLE_THRESHOLD = 10_000  # beyond this, sample every 10th value (ref :77-125)
@@ -89,6 +89,7 @@ _INT_DECODERS = {
     RLE_INT: rle.decode,
     DICT_INT: dict_codec.decode,
     F64_XOR: f64xor.decode,
+    SEG_DELTA: segdelta.decode,
 }
 
 
@@ -121,7 +122,8 @@ _INT_SIZERS = {
 
 
 def encode_int_block(values: np.ndarray, stats: IntStats | None = None,
-                     is_f64_bits: bool = False) -> bytes:
+                     is_f64_bits: bool = False,
+                     segments: np.ndarray | None = None) -> bytes:
     """int64 array -> self-describing block, cost-gated.
 
     The cost gate uses **exact analytic sizes** (each codec's
@@ -144,8 +146,20 @@ def encode_int_block(values: np.ndarray, stats: IntStats | None = None,
         size = _INT_SIZERS[cid](v)
         if size < best_size:
             best_id, best_size = cid, size
+    if segments is not None and 0 < len(segments) < n:
+        # segment-aware delta with a nested re-encoded stream: build it and
+        # compare actual bytes (the nested selection isn't analytically
+        # sizable without building)
+        cand = segdelta.encode(v, segments, encode_int_block=_encode_int_block_nested)
+        if len(cand) < best_size:
+            return blocks.pack_block(SEG_DELTA, n, cand)
     payload = _INT_ENCODERS[best_id](v)
     return blocks.pack_block(best_id, n, payload)
+
+
+def _encode_int_block_nested(values: np.ndarray) -> bytes:
+    """Nested-stream encoder for segdelta — no further segment recursion."""
+    return encode_int_block(values)
 
 
 def decode_int_block(buf: bytes | memoryview) -> np.ndarray:
@@ -249,7 +263,8 @@ def _wrap_nullable(valid_mask: np.ndarray, inner: bytes) -> bytes:
     return blocks.pack_block(NULLABLE, len(valid_mask), payload)
 
 
-def encode_column(values: pa.Array, kind: str, shared_col=None) -> bytes:
+def encode_column(values: pa.Array, kind: str, shared_col=None,
+                  segments: np.ndarray | None = None) -> bytes:
     """Arrow array (int64/large_utf8, possibly with nulls) -> block bytes.
 
     ``kind`` is 'int' or 'str'. Nulls are stripped into a validity bitmap
@@ -263,13 +278,14 @@ def encode_column(values: pa.Array, kind: str, shared_col=None) -> bytes:
         if kind == "str":
             inner = encode_str_block(dense, shared_col)
         else:
+            # segments don't survive null-stripping; drop them (rare path)
             inner = encode_int_block(dense.to_numpy(zero_copy_only=False).astype(np.int64),
                                      is_f64_bits=(kind == "f64"))
         return _wrap_nullable(valid, inner)
     if kind == "str":
         return encode_str_block(values, shared_col)
     return encode_int_block(values.to_numpy(zero_copy_only=False).astype(np.int64),
-                            is_f64_bits=(kind == "f64"))
+                            is_f64_bits=(kind == "f64"), segments=segments)
 
 
 def decode_column(buf: bytes | memoryview, shared_col=None) -> pa.Array:
