@@ -146,10 +146,11 @@ def encode_int_block(values: np.ndarray, stats: IntStats | None = None,
         size = _INT_SIZERS[cid](v)
         if size < best_size:
             best_id, best_size = cid, size
-    if segments is not None and 0 < len(segments) < n:
+    if segments is not None and 0 < len(segments) < n and best_size > n // 2:
         # segment-aware delta with a nested re-encoded stream: build it and
         # compare actual bytes (the nested selection isn't analytically
-        # sizable without building)
+        # sizable without building). Skipped when the winner is already
+        # under ~0.5 B/value — seg-delta can't meaningfully beat that.
         cand = segdelta.encode(v, segments, encode_int_block=_encode_int_block_nested)
         if len(cand) < best_size:
             return blocks.pack_block(SEG_DELTA, n, cand)
