@@ -86,6 +86,19 @@ def run_bench(encode_only: bool = False) -> dict:
     extras["vs_varint_floor"] = round(agg["var"] / agg["enc"], 3)
 
     if not encode_only:
+        from varint_spark.shared import build_shared_tables
+
+        t0 = time.time()
+        shared = spark.sparkContext.broadcast(build_shared_tables(tdf))
+        t_build = time.time() - t0
+        t0 = time.time()
+        sblocks = encode_transcripts(tdf, opts, shared=shared)
+        sagg = sblocks.agg(F.sum("encoded_bytes").alias("enc"),
+                           F.sum("raw_bytes").alias("raw")).collect()[0]
+        queries["encode_shared_tables"] = round(time.time() - t0, 3)
+        extras["shared_build_sec"] = round(t_build, 3)
+        extras["compression_ratio_shared"] = round(sagg["raw"] / sagg["enc"], 3)
+
         t0 = time.time()
         decoded = decode_blocks(blocks, transcripts.TRANSCRIPT_DDL)
         decoded.count()
