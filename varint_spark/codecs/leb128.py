@@ -82,18 +82,24 @@ def decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarray:
             raise ValueError(f"expected {count} values, got empty buffer")
         return np.empty(0, dtype=np.uint64)
     is_term = (b & _CONT) == 0
-    n_vals = int(np.count_nonzero(is_term))
+    ends = np.flatnonzero(is_term)
+    n_vals = len(ends)
     if count is not None and n_vals != count:
         raise ValueError(f"expected {count} values, found {n_vals} terminal bytes")
     if not is_term[-1]:
         raise ValueError("truncated LEB128 stream (no terminal byte at end)")
-    # Value index of every byte: 0-based, increments after each terminal byte.
-    vidx = np.empty(len(b), dtype=np.int64)
-    vidx[0] = 0
-    np.cumsum(is_term[:-1], out=vidx[1:])
-    starts = np.flatnonzero(np.diff(vidx, prepend=-1))
-    pos_in_val = np.arange(len(b), dtype=np.int64) - starts[vidx]
-    if int(pos_in_val.max()) > 9:
+    # Gather-matrix decode: (n, maxb) byte matrix per value, mask the tail,
+    # fold with shifts — fewer passes than per-byte segment arithmetic.
+    starts = np.empty(n_vals, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lens = ends - starts + 1
+    maxb = int(lens.max())
+    if maxb > 10:
         raise ValueError("LEB128 value longer than 10 bytes")
-    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << pos_in_val.astype(np.uint64) * _U64(7)
-    return np.bitwise_or.reduceat(contrib, starts)
+    idx = starts[:, None] + np.arange(maxb, dtype=np.int64)[None, :]
+    np.clip(idx, 0, len(b) - 1, out=idx)
+    mat = (b[idx] & np.uint8(0x7F)).astype(np.uint64)
+    mat *= np.arange(maxb, dtype=np.int64)[None, :] < lens[:, None]
+    mat <<= (np.arange(maxb, dtype=np.uint64) * _U64(7))[None, :]
+    return np.bitwise_or.reduce(mat, axis=1)
