@@ -100,3 +100,24 @@ def test_column_pruned_decode(spark, small_transcripts):
     left = small_transcripts.select("conv_id", "ts").orderBy("conv_id", "ts").toPandas()
     right = out.orderBy("conv_id", "ts").toPandas()
     pd.testing.assert_frame_equal(left.reset_index(drop=True), right.reset_index(drop=True))
+
+
+def test_zone_map_chunk_pruning(spark, small_transcripts):
+    from varint_spark.engine import prune_chunks
+    import pyspark.sql.functions as SF
+
+    blocks = encode_transcripts(small_transcripts, OPTS).cache()
+    # pick a ts range covering ~half the data
+    stats = blocks.filter(SF.col("column") == "ts").agg(
+        SF.min("min_val").alias("lo"), SF.max("max_val").alias("hi")).collect()[0]
+    mid = (stats.lo + stats.hi) // 2
+    pruned = prune_chunks(blocks, "ts", lo=mid)
+    n_all = blocks.select("part_key", "chunk_id").distinct().count()
+    n_kept = pruned.select("part_key", "chunk_id").distinct().count()
+    assert n_kept < n_all  # pruning actually dropped chunks
+    # exactness: pruned-decode + filter == full-decode + filter
+    full = decode_blocks(blocks, transcripts.TRANSCRIPT_DDL).filter(
+        SF.unix_micros("ts") >= mid)
+    part = decode_blocks(pruned, transcripts.TRANSCRIPT_DDL).filter(
+        SF.unix_micros("ts") >= mid)
+    pd.testing.assert_frame_equal(_sorted_pdf(full), _sorted_pdf(part))

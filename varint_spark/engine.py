@@ -77,7 +77,7 @@ def kinds_for_schema(schema: T.StructType) -> dict[str, str]:
 BLOCK_SCHEMA_DDL = (
     "part_key string, chunk_id int, column string, codec string, "
     "count long, null_count long, raw_bytes long, encoded_bytes long, "
-    "varint_bytes long, digest string, block binary"
+    "varint_bytes long, min_val long, max_val long, digest string, block binary"
 )
 
 DEFAULT_CHUNK_ROWS = 65_536
@@ -99,7 +99,8 @@ _BLOCK_PA_SCHEMA = pa.schema([
     ("part_key", pa.string()), ("chunk_id", pa.int32()), ("column", pa.string()),
     ("codec", pa.string()), ("count", pa.int64()), ("null_count", pa.int64()),
     ("raw_bytes", pa.int64()), ("encoded_bytes", pa.int64()),
-    ("varint_bytes", pa.int64()), ("digest", pa.string()), ("block", pa.binary()),
+    ("varint_bytes", pa.int64()), ("min_val", pa.int64()), ("max_val", pa.int64()),
+    ("digest", pa.string()), ("block", pa.binary()),
 ])
 
 
@@ -134,11 +135,15 @@ def _encode_chunk_rows(columns: dict[str, pa.Array], n: int, part_key: str,
     rows = []
     for col, kind in kinds.items():
         arr = columns[col]
+        mn = mx = None
         if kind in INT_KINDS:
             arr = _col_to_int64(arr, kind)
             raw_bytes = 8 * n
             dense = arr.drop_null() if arr.null_count else arr
-            vb = varint.encoded_size(dense.to_numpy(zero_copy_only=False).astype(np.int64))
+            dv = dense.to_numpy(zero_copy_only=False).astype(np.int64)
+            vb = varint.encoded_size(dv)
+            if len(dv) and kind != "f64":  # zone-map stats (chunk pruning)
+                mn, mx = int(dv.min()), int(dv.max())
             block = encode_column(arr, "f64" if kind == "f64" else "int",
                                   segments=segments)
         else:
@@ -156,6 +161,8 @@ def _encode_chunk_rows(columns: dict[str, pa.Array], n: int, part_key: str,
             "raw_bytes": raw_bytes,
             "encoded_bytes": len(block),
             "varint_bytes": int(vb),
+            "min_val": mn,
+            "max_val": mx,
             "digest": hashlib.sha256(block).hexdigest(),
             "block": block,
         })
@@ -320,3 +327,21 @@ def lineage_summary(blocks: DataFrame) -> DataFrame:
             F.sha2(F.concat_ws("", F.sort_array(F.collect_list("digest"))), 256).alias("digest"),
         )
     )
+
+
+def prune_chunks(blocks: DataFrame, column: str, lo=None, hi=None) -> DataFrame:
+    """Zone-map chunk pruning: keep only the chunks whose [min_val, max_val]
+    for ``column`` intersects [lo, hi] — the block-store analog of parquet
+    row-group statistics pruning (reference analog: header-only metadata
+    reads, varintBP128GetCount src/varintBP128.c:824). Rows with NULL
+    zone stats (string columns) are kept. Follow with decode_blocks +
+    an exact filter.
+
+    Timestamps: pass lo/hi as epoch-µs ints (the stored zone domain)."""
+    cond = F.col("column") == column
+    if lo is not None:
+        cond = cond & (F.col("max_val") >= F.lit(int(lo)))
+    if hi is not None:
+        cond = cond & (F.col("min_val") <= F.lit(int(hi)))
+    surviving = blocks.filter(cond).select("part_key", "chunk_id").distinct()
+    return blocks.join(F.broadcast(surviving), ["part_key", "chunk_id"], "left_semi")
