@@ -14,6 +14,13 @@
 * ``encode_stats_transcripts`` / ``compression_by_column`` — codec-choice +
   compression-ratio lineage (rows-only check; codec choice is not
   SQL-expressible).
+* ``dedup_*`` / ``simhash_*`` / ``text_*`` / ``similarity_*`` /
+  ``fingerprint_*`` / ``multimodal_*`` — the training-data pipeline
+  operators (varint_spark.pipeline); exact dedup, token stats and cosine
+  top-k have SQL oracles, hash-based ops are rows-only.
+* ``q1_pricing_summary`` / ``set_ops_bitmap_analog`` / ``topk_per_group``
+  — the relational surface (SURVEY §2.B) incl. the reference's bitmap
+  set-algebra semantics, all with SQL oracles.
 """
 
 from __future__ import annotations
