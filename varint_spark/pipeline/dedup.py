@@ -84,9 +84,15 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 64, bands: int = 16,
-                      shingle_width: int = 5) -> DataFrame:
+                      shingle_width: int = 5,
+                      max_bucket_size: int = 10_000) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH: documents sharing any
-    band bucket. Returns (id_a, id_b) with id_a < id_b, distinct."""
+    band bucket. Returns (id_a, id_b) with id_a < id_b, distinct.
+
+    ``max_bucket_size`` drops degenerate buckets (e.g. empty-text hash
+    collisions) whose self-join would be quadratic — the standard LSH
+    skew guard at corpus scale; near-dup pairs inside a dropped bucket
+    are still found through their other ``bands - 1`` bands."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_width)
     banded = sigs.select(
@@ -99,6 +105,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             )
         ).alias("band", "bucket"),
     )
+    w = W.partitionBy("band", "bucket")
+    banded = banded.withColumn("_bsz", F.count("*").over(w)) \
+        .filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
     left = banded.alias("l")
     right = banded.alias("r")
     return (
