@@ -202,35 +202,39 @@ def encode_str_block(values, shared_col=None) -> bytes:
     n = len(arr)
     if n == 0:
         return blocks.pack_block(PLAIN_STR, 0, b"")
-    lengths, _ = strings.to_plane(arr)
+    lengths, corpus = strings.to_plane(arr)
     s = analyze_strings(lengths, arr)
-    plain_payload = strings.encode_plain(arr)
-    best_id, best_payload = PLAIN_STR, plain_payload
+    # plain is the floor; size it analytically, build only if it wins
+    plain_size = int(leb128.encoded_sizes(lengths.astype(np.uint64)).sum()) + len(corpus)
+    best_id, best_payload = PLAIN_STR, None
+    best_len = plain_size
 
     digest, shared_dict, shared_fsst = shared_col if shared_col else (None, None, None)
     if shared_dict is not None:
         cand = strings.encode_dict_shared(arr, digest, shared_dict,
                                           encode_int_block=encode_int_block)
-        if cand is not None and len(cand) < len(best_payload):
-            best_id, best_payload = DICT_STR_SHARED, cand
+        if cand is not None and len(cand) < best_len:
+            best_id, best_payload, best_len = DICT_STR_SHARED, cand, len(cand)
     if shared_fsst is not None and s.avg_len >= 4:
         cand = strings.encode_fsst_shared(arr, digest, shared_fsst)
-        if cand is not None and len(cand) < len(best_payload):
-            best_id, best_payload = FSST_STR_SHARED, cand
+        if cand is not None and len(cand) < best_len:
+            best_id, best_payload, best_len = FSST_STR_SHARED, cand, len(cand)
 
     if s.unique_ratio < 0.5 and best_id != DICT_STR_SHARED:
         cand = strings.encode_dict(arr, encode_int_block=encode_int_block)
-        if len(cand) < len(best_payload):
-            best_id, best_payload = DICT_STR, cand
+        if len(cand) < best_len:
+            best_id, best_payload, best_len = DICT_STR, cand, len(cand)
     if s.avg_len >= 4 and best_id in (PLAIN_STR, FSST_STR_SHARED):
         cand = strings.encode_fsst(arr)
-        if cand is not None and len(cand) < len(best_payload):
-            best_id, best_payload = FSST_STR, cand
+        if cand is not None and len(cand) < best_len:
+            best_id, best_payload, best_len = FSST_STR, cand, len(cand)
     elif best_id == DICT_STR and s.unique_ratio > 0.01 and s.avg_len >= 4:
         # high-ish cardinality dicts: FSST may still beat dict on long text
         cand = strings.encode_fsst(arr)
-        if cand is not None and len(cand) < len(best_payload):
-            best_id, best_payload = FSST_STR, cand
+        if cand is not None and len(cand) < best_len:
+            best_id, best_payload, best_len = FSST_STR, cand, len(cand)
+    if best_payload is None:
+        best_payload = strings.encode_plain(arr)
     return blocks.pack_block(best_id, n, best_payload)
 
 
