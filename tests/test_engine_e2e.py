@@ -121,3 +121,18 @@ def test_zone_map_chunk_pruning(spark, small_transcripts):
     part = decode_blocks(pruned, transcripts.TRANSCRIPT_DDL).filter(
         SF.unix_micros("ts") >= mid)
     pd.testing.assert_frame_equal(_sorted_pdf(full), _sorted_pdf(part))
+
+
+def test_decode_verify_detects_corruption(spark, small_transcripts):
+    blocks = encode_transcripts(small_transcripts, OPTS).cache()
+    # clean verify passes
+    decode_blocks(blocks, transcripts.TRANSCRIPT_DDL, verify=True).count()
+    # corrupt one block's bytes → verify raises
+    corrupted = blocks.withColumn(
+        "block",
+        F.when(F.col("column") == "role",
+               F.concat(F.col("block"), F.lit(b"\x00"))).otherwise(F.col("block")),
+    )
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="digest mismatch"):
+        decode_blocks(corrupted, transcripts.TRANSCRIPT_DDL, verify=True).count()

@@ -251,12 +251,22 @@ def _decoded_to_output(arr: pa.Array, kind: str) -> pa.Array:
     return arr
 
 
-def make_decode_udf(kinds: dict[str, str], out_ddl_cols: list[str], shared=None):
+def make_decode_udf(kinds: dict[str, str], out_ddl_cols: list[str], shared=None,
+                    verify: bool = False):
     def decode_group(key, table):
         shared_cols = _resolve_shared(shared, kinds) or {}
         names = table.column("column").to_pylist()
         blks = table.column("block").to_pylist()
         by_col = dict(zip(names, blks))
+        if verify:  # integrity: stored digest must match block bytes
+            digests = dict(zip(names, table.column("digest").to_pylist()))
+            for col in out_ddl_cols:
+                got = hashlib.sha256(by_col[col]).hexdigest()
+                if got != digests[col]:
+                    raise ValueError(
+                        f"block digest mismatch for column {col!r} "
+                        f"(stored {digests[col][:12]}…, got {got[:12]}…)"
+                    )
         arrays = [
             _decoded_to_output(decode_column(by_col[col], shared_cols.get(col)), kinds[col])
             for col in out_ddl_cols
@@ -282,7 +292,8 @@ def kinds_for_ddl(schema_ddl: str) -> dict[str, str]:
 
 
 def decode_blocks(blocks: DataFrame, schema_ddl: str, kinds: dict[str, str] | None = None,
-                  shared=None, columns: list[str] | None = None) -> DataFrame:
+                  shared=None, columns: list[str] | None = None,
+                  verify: bool = False) -> DataFrame:
     """Encoded block rows -> original rows (order-insensitive).
 
     ``columns``: optional projection — only those columns' blocks are read
@@ -296,7 +307,7 @@ def decode_blocks(blocks: DataFrame, schema_ddl: str, kinds: dict[str, str] | No
         blocks = blocks.filter(F.col("column").isin(list(columns)))
     cols = [f.split()[0] for f in fields]
     kinds = kinds or kinds_for_ddl(schema_ddl)
-    fn = make_decode_udf(kinds, cols, shared)
+    fn = make_decode_udf(kinds, cols, shared, verify)
     return blocks.groupBy("part_key", "chunk_id").applyInArrow(fn, schema_ddl)
 
 
