@@ -237,3 +237,20 @@ def test_segdelta_roundtrip_and_wins_on_segmented_ts():
     one = np.array([5, 7, 6, 100], dtype=np.int64)
     b1 = segdelta.encode(one, np.array([4]))
     np.testing.assert_array_equal(segdelta.decode(b1, 4), one)
+
+
+def test_segdelta_gcd_scale_detection():
+    from varint_spark.codecs import segdelta
+    rng = np.random.default_rng(12)
+    # second-precision timestamps stored as µs: every value a 1e6 multiple
+    segs = np.array([200, 300], dtype=np.int64)
+    secs = np.concatenate([
+        np.int64(1_700_000_000) + np.cumsum(rng.integers(1, 61, 200)),
+        np.int64(1_700_999_999) + np.cumsum(rng.integers(1, 61, 300)),
+    ])
+    us = secs * 1_000_000
+    b_us = segdelta.encode(us, segs)
+    np.testing.assert_array_equal(segdelta.decode(b_us, len(us)), us)
+    b_s = segdelta.encode(secs, segs)
+    # scale detection: µs-stored data costs ≈ the same as second-stored
+    assert len(b_us) <= len(b_s) + 16

@@ -11,9 +11,14 @@ codec stores an absolute base (src/varintDelta.c:41-74).
 
 Payload::
 
-    [n_segs: leb128][segment lengths: leb128 stream]
-    [stream: NESTED self-describing int block — absolute value at seg
-     starts, deltas inside]
+    [n_segs: leb128][segment lengths: leb128 stream][scale: leb128]
+    [stream/scale: NESTED self-describing int block — absolute value at
+     seg starts, deltas inside]
+
+``scale`` is the GCD of the whole stream — the integer analog of the
+reference float codec's precision modes (src/varintFloat.h:27-114):
+second- or ms-precision timestamps stored as µs are exact multiples of
+10^6/10^3, so dividing by the GCD shrinks every varint by ~2-3 bytes.
 
 The delta stream is re-encoded by the adaptive int selector, so constant
 deltas collapse to RLE (turn_idx: ~0 bytes/value), bounded deltas get
@@ -49,10 +54,15 @@ def encode(values: np.ndarray, seg_lengths: np.ndarray, encode_int_block=None) -
     assert int(segs.sum()) == len(v)
     if encode_int_block is None:
         from ..selector import encode_int_block  # noqa: PLC0415
+    x = _stream(v, segs)
+    scale = int(np.gcd.reduce(np.abs(x))) or 1  # 0 ⇒ all-zero stream
+    if scale > 1:
+        x = x // scale
     return (
         blocks.put_uvarint(len(segs))
         + leb128.encode(segs.astype(np.uint64))
-        + encode_int_block(_stream(v, segs))
+        + blocks.put_uvarint(scale)
+        + encode_int_block(x)
     )
 
 
@@ -67,7 +77,10 @@ def decode(buf: memoryview | bytes, count: int) -> np.ndarray:
     term = (rest & 0x80) == 0
     seg_end = int(np.flatnonzero(term)[n_segs - 1]) + 1
     segs = leb128.decode(rest[:seg_end], n_segs).astype(np.int64)
-    x = decode_int_block(rest[seg_end:])
+    scale, pos2 = blocks.take_uvarint(rest, seg_end)
+    x = decode_int_block(rest[pos2:])
+    if scale > 1:
+        x = x * np.int64(scale)
     cs = np.cumsum(x, dtype=np.int64)
     starts = np.zeros(n_segs, dtype=np.int64)
     np.cumsum(segs[:-1], out=starts[1:])
