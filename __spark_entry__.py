@@ -280,6 +280,15 @@ def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from varint_spark.pipeline import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dups = embs.limit(20).withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    return similarity.embedding_near_dup_pairs(embs.union(dups), "vec_id",
+                                               "embedding", threshold=0.999, bits=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_events": _rt("events", "user_id", "event_id"),
@@ -302,6 +311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_lang_id,
         "similarity_topk": _q_similarity,
         "similarity_topk_lsh": _q_similarity_lsh,
+        "embedding_near_dup": _q_embedding_near_dup,
         "fingerprint_documents": _q_fingerprints,
         "multimodal_features": _q_multimodal,
         "q1_pricing_summary": _q_pricing_summary,

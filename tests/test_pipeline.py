@@ -140,3 +140,18 @@ def test_multimodal_plumbing(spark):
            {r.media_id: tuple(r.features) for r in f2}
     stats = multimodal.media_stats(media).collect()
     assert {r.modality for r in stats} == {"image", "audio", "video"}
+
+
+def test_embedding_near_dup(spark, embs):
+    # plant exact duplicates: near-dup detection must find them all
+    dups = embs.limit(25).withColumn("vec_id", F.col("vec_id") + 10_000)
+    both = embs.union(dups)
+    pairs = similarity.embedding_near_dup_pairs(both, "vec_id", "embedding",
+                                                threshold=0.999, bits=6)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    expected = {(r.vec_id, r.vec_id + 10_000) for r in embs.limit(25).collect()}
+    assert expected <= found
+    # determinism across parallelism
+    p2 = similarity.embedding_near_dup_pairs(both.repartition(7), "vec_id",
+                                             "embedding", threshold=0.999, bits=6)
+    assert {(r.id_a, r.id_b) for r in p2.collect()} >= expected

@@ -73,3 +73,37 @@ def lsh_cosine_topk(df: DataFrame, id_col: str, vec_col: str, query: list[float]
         q_bucket = q_bucket * 2 + (1 if float(planes[i] @ qv) >= 0 else 0)
     bucketed = hyperplane_signs(df, vec_col, dim, bits, seed)
     return cosine_topk(bucketed.filter(F.col("bucket") == q_bucket), id_col, vec_col, query, k)
+
+
+def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                             threshold: float = 0.95, bits: int = 6,
+                             seed: int = 42, dim: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at scale: random-hyperplane
+    LSH buckets prune candidates (near-identical vectors share all sign
+    bits with high probability), then exact cosine verifies. One shuffle
+    for the bucket self-join; candidate count ~ n²/2^bits per bucket."""
+    if dim is None:
+        first = df.select(vec_col).first()
+        dim = len(first[0])
+    bucketed = hyperplane_signs(df, vec_col, dim, bits, seed).select(
+        F.col(id_col), F.col(vec_col), F.col("bucket"))
+    left = bucketed.alias("l")
+    right = bucketed.alias("r")
+    pairs = (
+        left.join(right, (F.col("l.bucket") == F.col("r.bucket"))
+                  & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col(f"l.{vec_col}").alias("_va"),
+            F.col(f"r.{vec_col}").alias("_vb"),
+        )
+    )
+    va = F.transform(F.col("_va"), lambda x: x.cast("double"))
+    vb = F.transform(F.col("_vb"), lambda x: x.cast("double"))
+    cos = _dot(va, vb) / (_norm(va) * _norm(vb))
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
