@@ -289,6 +289,15 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                "embedding", threshold=0.999, bits=6)
 
 
+def _q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from varint_spark.pipeline.similarity import ivf_build, ivf_topk
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, cent = ivf_build(embs, "vec_id", "embedding", k_lists=8)
+    query = list(embs.orderBy("vec_id").first().embedding)
+    return ivf_topk(assigned, cent, "vec_id", "embedding", query, k=10, nprobe=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_events": _rt("events", "user_id", "event_id"),
@@ -312,6 +321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": _q_similarity,
         "similarity_topk_lsh": _q_similarity_lsh,
         "embedding_near_dup": _q_embedding_near_dup,
+        "similarity_topk_ivf": _q_similarity_ivf,
         "fingerprint_documents": _q_fingerprints,
         "multimodal_features": _q_multimodal,
         "q1_pricing_summary": _q_pricing_summary,

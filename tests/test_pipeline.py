@@ -155,3 +155,19 @@ def test_embedding_near_dup(spark, embs):
     p2 = similarity.embedding_near_dup_pairs(both.repartition(7), "vec_id",
                                              "embedding", threshold=0.999, bits=6)
     assert {(r.id_a, r.id_b) for r in p2.collect()} >= expected
+
+
+def test_ivf_ann_recall(spark, embs):
+    from varint_spark.pipeline.similarity import cosine_topk, ivf_build, ivf_topk
+
+    assigned, cent = ivf_build(embs, "vec_id", "embedding", k_lists=8)
+    assigned = assigned.cache()
+    assert assigned.count() == embs.count()
+    query = list(embs.orderBy("vec_id").first().embedding)
+    exact = [r.vec_id for r in cosine_topk(embs, "vec_id", "embedding", query, 10).collect()]
+    approx = [r.vec_id for r in ivf_topk(assigned, cent, "vec_id", "embedding",
+                                         query, k=10, nprobe=4).collect()]
+    # half the lists probed → expect high recall incl. the query itself
+    assert exact[0] in approx
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, recall

@@ -107,3 +107,66 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ---- IVF-flat ANN (inverted-file index; the scale path beyond LSH) -----------
+
+def _kmeans(sample: np.ndarray, k: int, iters: int = 8, seed: int = 42) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a driver-side sample (numpy only).
+    Cosine-style: rows are L2-normalized first."""
+    rng = np.random.default_rng(seed)
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for j in range(len(cent)):
+            members = x[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                cent[j] = c / max(np.linalg.norm(c), 1e-12)
+    return cent
+
+
+def ivf_build(df: DataFrame, id_col: str, vec_col: str, k_lists: int = 16,
+              sample_rows: int = 4096, seed: int = 42):
+    """Build an IVF index: train centroids on a bounded sample (driver),
+    broadcast them, assign every vector to its nearest list in a
+    vectorized Arrow UDF. Returns (assigned_df, centroids).
+
+    At 100 TB the assigned table would be written partitioned by
+    ``ivf_list`` so a query's nprobe lists prune to a few partitions."""
+    import pyarrow as pa
+
+    sample = np.array([r[0] for r in df.select(vec_col).limit(sample_rows).collect()],
+                      dtype=np.float64)
+    cent = _kmeans(sample, k_lists, seed=seed)
+    bc = df.sparkSession.sparkContext.broadcast(cent)
+
+    def assign(iterator):
+        c = bc.value
+        for tbl in iterator:
+            vecs = np.array(tbl.column(vec_col).to_pylist(), dtype=np.float64)
+            if len(vecs):
+                vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+                lists = np.argmax(vn @ c.T, axis=1).astype(np.int32)
+            else:
+                lists = np.empty(0, dtype=np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [tbl.column(id_col), tbl.column(vec_col), pa.array(lists, type=pa.int32())],
+                names=[id_col, vec_col, "ivf_list"],
+            )
+
+    assigned = df.select(id_col, vec_col).mapInArrow(
+        assign, f"{id_col} long, {vec_col} array<float>, ivf_list int")
+    return assigned, cent
+
+
+def ivf_topk(assigned: DataFrame, centroids: np.ndarray, id_col: str, vec_col: str,
+             query: list[float], k: int = 10, nprobe: int = 4) -> DataFrame:
+    """ANN query: exact cosine top-k over only the ``nprobe`` lists whose
+    centroids are nearest the query (scan fraction ≈ nprobe/k_lists)."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(centroids @ qn))[:nprobe].tolist()
+    pruned = assigned.filter(F.col("ivf_list").isin(probe))
+    return cosine_topk(pruned, id_col, vec_col, query, k)
