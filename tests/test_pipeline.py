@@ -104,6 +104,10 @@ def test_token_and_quality_stats(spark, docs):
         expect_tokens = len([t for t in r.text.split() if t])
         assert by_id[r.doc_id].n_tokens == expect_tokens
         assert by_id[r.doc_id].n_chars == len(r.text)
+        import re
+        from varint_spark.pipeline.textstats import BPE_PRETOKEN_RE
+        expect_bpe = len(re.findall(BPE_PRETOKEN_RE.replace("\\s", "\s"), r.text))
+        assert by_id[r.doc_id].n_bpe_pretokens == expect_bpe, r.doc_id
     qs = textstats.quality_score(docs, "doc_id", "text")
     row = qs.first()
     assert 0.0 <= row.punct_ratio <= 1.0 and 0.0 <= row.stopword_ratio <= 1.0

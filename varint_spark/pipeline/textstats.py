@@ -13,9 +13,14 @@ from pyspark.sql import DataFrame, functions as F
 STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"]
 
 
+# GPT-2-style pretokenizer shape: contractions, letter runs, digit runs,
+# punctuation runs, whitespace-prefixed words (public regex family)
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """n_chars / n_tokens / avg token length — whitespace tokenization plus
-    a BPE-ish subword count (4-char units, the common len(text)/4 heuristic)."""
+    BPE-ish counts: a GPT-style pretokenizer regex and the len/4 heuristic."""
     t = F.col(text_col)
     toks = F.filter(F.split(t, r"\s+"), lambda x: F.length(x) > 0)
     return df.select(
@@ -23,6 +28,7 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.length(t).alias("n_chars"),
         F.size(toks).alias("n_tokens"),
         (F.length(t) / F.greatest(F.size(toks), F.lit(1))).alias("avg_tok_len"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_PRETOKEN_RE), 0)).alias("n_bpe_pretokens"),
         F.ceil(F.length(t) / 4).cast("long").alias("n_subword_est"),
     )
 
