@@ -25,11 +25,16 @@ def _roundtrip_dict(arr):
 
 
 def _roundtrip_fsst(arr):
-    buf = strings.encode_fsst(arr)
-    if buf is None:
+    res = strings.encode_fsst(arr)
+    if res is None:
         pytest.skip("incompressible corpus — fallback path covers it")
+    buf, tables = res
     out = strings.decode_fsst(buf, len(arr))
     assert out.to_pylist() == list(arr)
+    # reuse path: encoding again with the returned tables round-trips too
+    res2 = strings.encode_fsst(arr, reuse_tables=tables)
+    if res2 is not None:
+        assert strings.decode_fsst(res2[0], len(arr)).to_pylist() == list(arr)
 
 
 @pytest.mark.parametrize("fixture", list(STR_FIXTURES))

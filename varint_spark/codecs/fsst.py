@@ -198,11 +198,18 @@ def decompress_with(compressed: np.ndarray, tables: bytes) -> np.ndarray:
 def compress(corpus: np.ndarray) -> bytes | None:
     """uint8 corpus -> serialized (table + compressed bytes), or None when
     the corpus is incompressible with this scheme (selector falls back)."""
+    parts = compress_parts(corpus)
+    return parts[0] + parts[1] if parts else None
+
+
+def compress_parts(corpus: np.ndarray) -> tuple[bytes, bytes] | None:
+    """Like :func:`compress` but returns (serialized tables, compressed)
+    separately, so callers can reuse the tables for sibling chunks."""
     r = _train_and_apply(corpus)
     if r is None:
         return None
     rounds, c = r
-    return serialize_tables(rounds) + c.tobytes()
+    return serialize_tables(rounds), c.tobytes()
 
 
 def decompress(buf: memoryview | bytes) -> np.ndarray:

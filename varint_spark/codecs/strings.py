@@ -157,13 +157,24 @@ def decode_fsst_shared(buf: memoryview | bytes, count: int, digest: str,
 
 # ---- FSST_STR -------------------------------------------------------------------
 
-def encode_fsst(values) -> bytes | None:
-    """None when the corpus is incompressible — caller falls back."""
+def encode_fsst(values, reuse_tables: bytes | None = None):
+    """-> (payload, tables) or None when incompressible.
+
+    ``reuse_tables``: serialized tables from a sibling chunk (same column,
+    same group) — skips the training pass; falls back to fresh training on
+    symbol-code collision. Tables are embedded in the payload either way,
+    so blocks stay self-describing."""
     lengths, corpus = to_plane(values)
-    comp = fsst.compress(corpus)
-    if comp is None:
+    if reuse_tables is not None:
+        comp = fsst.apply_tables(corpus, reuse_tables)
+        if comp is not None:
+            return (leb128.encode(lengths.astype(np.uint64)) + reuse_tables
+                    + comp.tobytes(), reuse_tables)
+    parts = fsst.compress_parts(corpus)
+    if parts is None:
         return None
-    return leb128.encode(lengths.astype(np.uint64)) + comp
+    tables, comp = parts
+    return leb128.encode(lengths.astype(np.uint64)) + tables + comp, tables
 
 
 def decode_fsst(buf: memoryview | bytes, count: int) -> pa.Array:

@@ -131,7 +131,8 @@ def _run_lengths(arr: pa.Array) -> np.ndarray:
 def _encode_chunk_rows(columns: dict[str, pa.Array], n: int, part_key: str,
                        chunk_id: int, kinds: dict[str, str],
                        shared_cols: dict | None = None,
-                       segments: np.ndarray | None = None) -> list[dict]:
+                       segments: np.ndarray | None = None,
+                       fsst_cache: dict | None = None) -> list[dict]:
     rows = []
     for col, kind in kinds.items():
         arr = columns[col]
@@ -150,7 +151,8 @@ def _encode_chunk_rows(columns: dict[str, pa.Array], n: int, part_key: str,
             lens = pa.compute.binary_length(arr)
             raw_bytes = int(pa.compute.sum(lens).as_py() or 0) + 4 * n  # data + 4B offsets
             vb = raw_bytes  # reference has no string codecs; floor = raw
-            block = encode_column(arr, "str", (shared_cols or {}).get(col))
+            block = encode_column(arr, "str", (shared_cols or {}).get(col),
+                                  fsst_cache=fsst_cache, cache_key=col)
         rows.append({
             "part_key": part_key,
             "chunk_id": chunk_id,
@@ -202,12 +204,13 @@ def make_encode_udf(kinds: dict[str, str], chunk_rows: int, group_col: str,
         cols = {c: table.column(c).combine_chunks() for c in kinds}
         out: list[dict] = []
         n = table.num_rows
+        fsst_cache: dict = {}  # per-group FSST table reuse across chunks
         for chunk_id, start in enumerate(range(0, n, chunk_rows)):
             m = min(chunk_rows, n - start)
             chunk_cols = {c: a.slice(start, m) for c, a in cols.items()}
             segments = _run_lengths(chunk_cols[group_col]) if group_col in chunk_cols else None
             out.extend(_encode_chunk_rows(chunk_cols, m, part_key, chunk_id, kinds,
-                                          shared_cols, segments))
+                                          shared_cols, segments, fsst_cache))
         return pa.Table.from_pylist(out, schema=_BLOCK_PA_SCHEMA)
 
     return encode_group

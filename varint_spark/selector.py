@@ -189,12 +189,15 @@ def analyze_strings(lengths: np.ndarray, arr: pa.Array) -> StrStats:
     return StrStats(n, unique_ratio, float(lengths.mean()))
 
 
-def encode_str_block(values, shared_col=None) -> bytes:
+def encode_str_block(values, shared_col=None, fsst_cache: dict | None = None,
+                     cache_key: str = "") -> bytes:
     """string array-like (no nulls) -> self-describing block, cost-gated.
 
     ``shared_col``: optional (digest, dict_arr | None, fsst_tables | None)
     from a broadcast SharedTables — shared candidates enter the same cost
-    gate as local ones."""
+    gate as local ones. ``fsst_cache``: per-group dict reusing FSST tables
+    trained on a sibling chunk of the same column (training is the encode
+    hot spot; reuse skips it, with automatic retrain on drift)."""
     arr = values if isinstance(values, pa.Array) else pa.array(values, type=pa.large_utf8())
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -224,15 +227,17 @@ def encode_str_block(values, shared_col=None) -> bytes:
         cand = strings.encode_dict(arr, encode_int_block=encode_int_block)
         if len(cand) < best_len:
             best_id, best_payload, best_len = DICT_STR, cand, len(cand)
-    if s.avg_len >= 4 and best_id in (PLAIN_STR, FSST_STR_SHARED):
-        cand = strings.encode_fsst(arr)
-        if cand is not None and len(cand) < best_len:
-            best_id, best_payload, best_len = FSST_STR, cand, len(cand)
-    elif best_id == DICT_STR and s.unique_ratio > 0.01 and s.avg_len >= 4:
-        # high-ish cardinality dicts: FSST may still beat dict on long text
-        cand = strings.encode_fsst(arr)
-        if cand is not None and len(cand) < best_len:
-            best_id, best_payload, best_len = FSST_STR, cand, len(cand)
+    try_fsst = (s.avg_len >= 4 and best_id in (PLAIN_STR, FSST_STR_SHARED)) or (
+        best_id == DICT_STR and s.unique_ratio > 0.01 and s.avg_len >= 4)
+    if try_fsst:
+        reuse = fsst_cache.get(cache_key) if fsst_cache is not None else None
+        res = strings.encode_fsst(arr, reuse_tables=reuse)
+        if res is not None:
+            cand, tables = res
+            if fsst_cache is not None:
+                fsst_cache[cache_key] = tables
+            if len(cand) < best_len:
+                best_id, best_payload, best_len = FSST_STR, cand, len(cand)
     if best_payload is None:
         best_payload = strings.encode_plain(arr)
     return blocks.pack_block(best_id, n, best_payload)
@@ -269,7 +274,8 @@ def _wrap_nullable(valid_mask: np.ndarray, inner: bytes) -> bytes:
 
 
 def encode_column(values: pa.Array, kind: str, shared_col=None,
-                  segments: np.ndarray | None = None) -> bytes:
+                  segments: np.ndarray | None = None,
+                  fsst_cache: dict | None = None, cache_key: str = "") -> bytes:
     """Arrow array (int64/large_utf8, possibly with nulls) -> block bytes.
 
     ``kind`` is 'int' or 'str'. Nulls are stripped into a validity bitmap
@@ -281,14 +287,14 @@ def encode_column(values: pa.Array, kind: str, shared_col=None,
         valid = ~np.asarray(values.is_null())
         dense = values.drop_null()
         if kind == "str":
-            inner = encode_str_block(dense, shared_col)
+            inner = encode_str_block(dense, shared_col, fsst_cache, cache_key)
         else:
             # segments don't survive null-stripping; drop them (rare path)
             inner = encode_int_block(dense.to_numpy(zero_copy_only=False).astype(np.int64),
                                      is_f64_bits=(kind == "f64"))
         return _wrap_nullable(valid, inner)
     if kind == "str":
-        return encode_str_block(values, shared_col)
+        return encode_str_block(values, shared_col, fsst_cache, cache_key)
     return encode_int_block(values.to_numpy(zero_copy_only=False).astype(np.int64),
                             is_f64_bits=(kind == "f64"), segments=segments)
 
