@@ -102,6 +102,19 @@ def test_column_pruned_decode(spark, small_transcripts):
     pd.testing.assert_frame_equal(left.reset_index(drop=True), right.reset_index(drop=True))
 
 
+def test_f64_nulls_and_nan_roundtrip(spark):
+    import math
+    rows = [(1, 1.5), (2, None), (3, float("nan")), (4, -0.0), (5, 2.0**60)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = roundtrip_df = None
+    from varint_spark.engine import roundtrip
+    out = {r.id: r.v for r in roundtrip(df, "id", "id", OPTS).collect()}
+    assert out[2] is None                      # null stays null
+    assert math.isnan(out[3])                  # NaN stays NaN (a value)
+    assert math.copysign(1.0, out[4]) == -1.0  # -0.0 bit pattern survives
+    assert out[1] == 1.5 and out[5] == 2.0**60
+
+
 def test_zone_map_chunk_pruning(spark, small_transcripts):
     from varint_spark.engine import prune_chunks
     import pyspark.sql.functions as SF

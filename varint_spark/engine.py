@@ -108,7 +108,13 @@ def _col_to_int64(arr: pa.Array, kind: str) -> pa.Array:
     if kind in ("ts", "tsntz"):
         return arr.cast(pa.int64())
     if kind == "f64":
-        # lossless bit-cast (varintFloat FULL-mode analog); NaN is a value
+        # lossless bit-cast (varintFloat FULL-mode analog); NaN is a value,
+        # nulls keep their validity (distinct from NaN)
+        if arr.null_count:
+            valid = pa.compute.is_valid(arr)
+            vals = arr.fill_null(0.0).to_numpy(zero_copy_only=False).view(np.int64)
+            return pa.compute.if_else(valid, pa.array(vals, type=pa.int64()),
+                                      pa.scalar(None, type=pa.int64()))
         vals = arr.to_numpy(zero_copy_only=False).view(np.int64)
         return pa.array(vals, type=pa.int64())
     if kind == "int32":
@@ -247,6 +253,11 @@ def _decoded_to_output(arr: pa.Array, kind: str) -> pa.Array:
     if kind == "int32":
         return arr.cast(pa.int32())
     if kind == "f64":
+        if arr.null_count:
+            valid = pa.compute.is_valid(arr)
+            vals = arr.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64).view(np.float64)
+            return pa.compute.if_else(valid, pa.array(vals, type=pa.float64()),
+                                      pa.scalar(None, type=pa.float64()))
         vals = arr.to_numpy(zero_copy_only=False).astype(np.int64).view(np.float64)
         return pa.array(vals, type=pa.float64())
     if kind == "str":

@@ -306,9 +306,10 @@ def decode_column(buf: bytes | memoryview, shared_col=None) -> pa.Array:
         bitmap_len = bitpack.packed_size(count, 1)
         valid = bitpack.unpack(np.frombuffer(payload[:bitmap_len], dtype=np.uint8), 1, count).astype(bool)
         inner = decode_column(payload[bitmap_len:], shared_col)
+        if len(inner) == 0:  # all-null chunk
+            return pa.nulls(count, type=inner.type if inner.type != pa.null() else pa.int64())
         idx = np.full(count, -1, dtype=np.int64)
         idx[valid] = np.arange(len(inner), dtype=np.int64)
-        take_idx = pa.array(np.where(valid, idx, -1), type=pa.int64())
         mask = pa.array(~valid)
         safe_idx = pa.array(np.where(valid, idx, 0), type=pa.int64())
         out = inner.take(safe_idx)
