@@ -122,6 +122,14 @@ def test_selector_str_expectations():
     assert selector.decode_str_block(blk).to_pylist() == list(text)
 
 
+def test_all_null_column_roundtrip():
+    for typ, kind in ((pa.int64(), "int"), (pa.large_utf8(), "str"), (pa.int64(), "f64")):
+        arr = pa.array([None, None, None], type=typ)
+        blk = selector.encode_column(arr, kind)
+        out = selector.decode_column(blk)
+        assert out.to_pylist() == [None, None, None], kind
+
+
 def test_nullable_column_roundtrip():
     ints = pa.array([1, None, 3, None, 2**62, -5], type=pa.int64())
     blk = selector.encode_column(ints, "int")
