@@ -50,9 +50,12 @@ def run_bench(encode_only: bool = False) -> dict:
     from varint_spark.session import get_spark
 
     sf = _sf_from_dir(SF_DIR)
+    # SPARK_GRAFT_BUCKETS pins the job shape (same logical job at every
+    # parallelism level — required for an honest scaling comparison)
+    buckets = int(os.environ.get("SPARK_GRAFT_BUCKETS", 0)) or int(CPUS) * 4
     spark = get_spark("varint_spark_bench", master=f"local[{CPUS}]",
-                      shuffle_partitions=int(CPUS) * 2)
-    opts = EncodeOptions(num_buckets=int(CPUS) * 4, chunk_rows=65_536, salt_span=262_144)
+                      shuffle_partitions=max(buckets // 2, int(CPUS) * 2))
+    opts = EncodeOptions(num_buckets=buckets, chunk_rows=65_536, salt_span=262_144)
 
     n_conv = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", 0)) or _transcript_conversations(sf)
     tdf = transcripts.generate_distributed(spark, n_conversations=n_conv, n_hot=3,
@@ -139,7 +142,9 @@ def run_scaling() -> None:
     for cpus in (n_low, n_high):
         # big enough that codec compute dominates scheduler/serde overhead
         env = dict(os.environ, SPARK_GRAFT_CPUS=cpus, SPARK_GRAFT_SF_DIR=SF_DIR,
-                   SPARK_GRAFT_BENCH_CONVS=os.environ.get("SPARK_GRAFT_BENCH_CONVS", "700000"))
+                   SPARK_GRAFT_BENCH_CONVS=os.environ.get("SPARK_GRAFT_BENCH_CONVS", "1600000"),
+                   # identical job shape on both legs: buckets sized for 4N
+                   SPARK_GRAFT_BUCKETS=str(int(n_high) * 4))
         out = subprocess.run(
             [sys.executable, str(REPO / "bench.py"), "--encode-only"],
             env=env, capture_output=True, text=True, check=True,
