@@ -149,3 +149,11 @@ def test_decode_verify_detects_corruption(spark, small_transcripts):
     import pytest as _pytest
     with _pytest.raises(Exception, match="digest mismatch"):
         decode_blocks(corrupted, transcripts.TRANSCRIPT_DDL, verify=True).count()
+
+
+def test_empty_input_encode(spark):
+    empty = transcripts.generate_spark(spark, n_conversations=1, n_hot=0).limit(0)
+    blocks = encode_transcripts(empty, OPTS)
+    assert blocks.count() == 0
+    decoded = decode_blocks(blocks, transcripts.TRANSCRIPT_DDL)
+    assert decoded.count() == 0
