@@ -369,4 +369,6 @@ def prune_chunks(blocks: DataFrame, column: str, lo=None, hi=None) -> DataFrame:
     if hi is not None:
         cond = cond & (F.col("min_val") <= F.lit(int(hi)))
     surviving = blocks.filter(cond).select("part_key", "chunk_id").distinct()
-    return blocks.join(F.broadcast(surviving), ["part_key", "chunk_id"], "left_semi")
+    # no broadcast hint: the surviving list can be millions of chunks at
+    # 100 TB — AQE picks broadcast only when it actually fits
+    return blocks.join(surviving, ["part_key", "chunk_id"], "left_semi")
