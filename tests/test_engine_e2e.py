@@ -157,3 +157,19 @@ def test_empty_input_encode(spark):
     assert blocks.count() == 0
     decoded = decode_blocks(blocks, transcripts.TRANSCRIPT_DDL)
     assert decoded.count() == 0
+
+
+def test_prune_chunks_null_stats_is_noop(spark):
+    """Pruning on a column with NULL zone stats (f64 / string columns carry
+    none) must keep every chunk — a conservative no-op, never zero rows."""
+    from varint_spark.engine import prune_chunks, roundtrip
+    rows = [(i, float(i) * 1.5, f"s{i % 7}") for i in range(1, 2001)]
+    df = spark.createDataFrame(rows, "id long, v double, s string")
+    blocks = encode_transcripts(df, EncodeOptions(
+        num_buckets=4, chunk_rows=256, salt_span=1024,
+        group_col="id", order_col="id")).cache()
+    n_all = blocks.select("part_key", "chunk_id").distinct().count()
+    for col in ("v", "s"):  # f64 and string: no min/max stats
+        kept = prune_chunks(blocks, col, lo=0, hi=10).select(
+            "part_key", "chunk_id").distinct().count()
+        assert kept == n_all, col

@@ -254,3 +254,27 @@ def test_segdelta_gcd_scale_detection():
     b_s = segdelta.encode(secs, segs)
     # scale detection: µs-stored data costs ≈ the same as second-stored
     assert len(b_us) <= len(b_s) + 16
+
+
+def test_segdelta_int64_min_scale_clamp():
+    """All-INT64_MIN stream: |x| overflows np.abs, gcd would be negative —
+    the clamp must fall back to scale=1 and still round-trip exactly."""
+    from varint_spark.codecs import segdelta
+    v = np.full(16, np.iinfo(np.int64).min, dtype=np.int64)
+    buf = segdelta.encode(v, np.array([16]))
+    np.testing.assert_array_equal(segdelta.decode(buf, 16), v)
+    # mixed segment boundaries too
+    v2 = np.array([np.iinfo(np.int64).min, 0, np.iinfo(np.int64).max], dtype=np.int64)
+    b2 = segdelta.encode(v2, np.array([1, 2]))
+    np.testing.assert_array_equal(segdelta.decode(b2, 3), v2)
+
+
+def test_take_uvarint_ndarray_buffer_huge_value():
+    """take_uvarint must accumulate in Python ints: an np.uint8 buffer with
+    a value >= 2**63 would otherwise wrap to negative int64."""
+    from varint_spark.codecs import blocks
+    for x in (2**63, 2**63 + 5, 2**64 - 1, 127, 128, 2**56):
+        enc = blocks.put_uvarint(x)
+        for buf in (enc, memoryview(enc), np.frombuffer(enc, dtype=np.uint8)):
+            got, pos = blocks.take_uvarint(buf, 0)
+            assert got == x and pos == len(enc), (x, type(buf))

@@ -71,3 +71,28 @@ def test_rerun_is_noop(spark, tdf, tmp_path_factory):
     s2 = encode_checkpointed(tdf, root, OPTS)
     assert s2["partitions_encoded"] == 0
     assert s2["partitions_skipped"] == s1["partitions_encoded"]
+
+
+def test_part_keys_match_engine_for_wide_and_negative_salts(spark, tmp_path_factory):
+    """Salts >= 10000 (5-digit) and negative order values: the lineage SQL
+    key column must match the engine UDF's Python f'{salt:04d}' exactly,
+    or resume anti-joins drop pending rows / re-encodes forever."""
+    root = str(tmp_path_factory.mktemp("ckpt3"))
+    opts = EncodeOptions(num_buckets=2, chunk_rows=64, salt_span=16)
+    rows = [("c1", i, "x") for i in range(0, 16 * 10_001, 40)]   # salt up to 10000
+    rows += [("c2", -i, "y") for i in range(0, 200, 3)]           # negative salts
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    kinds = {"conv_id": "str", "turn_idx": "int32", "text": "str"}
+    s1 = encode_checkpointed(df, root, opts, kinds=kinds)
+    assert s1["partitions_encoded"] > 0
+    # committed lineage keys == the engine's own part keys, bit for bit
+    engine_keys = {r.part_key for r in
+                   encode_transcripts(df, opts, kinds=kinds).select("part_key").distinct().collect()}
+    lineage_keys = {r.part_key for r in read_lineage(spark, root).select("part_key").distinct().collect()}
+    assert engine_keys == lineage_keys
+    assert any(len(k.split(":")[1]) > 4 for k in engine_keys)   # widened salt present
+    assert any("-" in k.split(":")[1] for k in engine_keys)     # negative salt present
+    # rerun is a pure no-op: nothing re-encoded, nothing lost
+    s2 = encode_checkpointed(df, root, opts, kinds=kinds)
+    assert s2["partitions_encoded"] == 0
+    assert s2["partitions_skipped"] == s1["partitions_encoded"]

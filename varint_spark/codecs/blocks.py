@@ -72,7 +72,10 @@ def take_uvarint(buf: memoryview | bytes, pos: int) -> tuple[int, int]:
     x = 0
     shift = 0
     while True:
-        b = buf[pos]
+        # int() coercion: when buf is an np.uint8 ndarray, numpy-scalar
+        # arithmetic would wrap values >= 2**63 to negative int64; Python
+        # ints keep the accumulation exact for any buffer type.
+        b = int(buf[pos])
         pos += 1
         x |= (b & 0x7F) << shift
         if not (b & 0x80):

@@ -55,7 +55,12 @@ def encode(values: np.ndarray, seg_lengths: np.ndarray, encode_int_block=None) -
     if encode_int_block is None:
         from ..selector import encode_int_block  # noqa: PLC0415
     x = _stream(v, segs)
-    scale = int(np.gcd.reduce(np.abs(x))) or 1  # 0 ⇒ all-zero stream
+    # |INT64_MIN| overflows np.abs -> gcd can come back negative/huge; any
+    # scale outside (1, 2**63) is unusable as a LEB128-serialized divisor,
+    # so clamp to 1 (plain stream). 0 ⇒ all-zero stream.
+    with np.errstate(over="ignore"):
+        g = int(np.gcd.reduce(np.abs(x))) if len(x) else 1
+    scale = g if 1 < g < 2**63 else 1
     if scale > 1:
         x = x // scale
     return (

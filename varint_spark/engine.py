@@ -364,10 +364,13 @@ def prune_chunks(blocks: DataFrame, column: str, lo=None, hi=None) -> DataFrame:
 
     Timestamps: pass lo/hi as epoch-µs ints (the stored zone domain)."""
     cond = F.col("column") == column
+    # NULL zone stats (f64 / string columns never carry min/max) must be
+    # non-prunable: without the isNull() escape the NULL comparison drops
+    # every such chunk and the semi-join silently returns zero rows.
     if lo is not None:
-        cond = cond & (F.col("max_val") >= F.lit(int(lo)))
+        cond = cond & ((F.col("max_val") >= F.lit(int(lo))) | F.col("max_val").isNull())
     if hi is not None:
-        cond = cond & (F.col("min_val") <= F.lit(int(hi)))
+        cond = cond & ((F.col("min_val") <= F.lit(int(hi))) | F.col("min_val").isNull())
     surviving = blocks.filter(cond).select("part_key", "chunk_id").distinct()
     # no broadcast hint: the surviving list can be millions of chunks at
     # 100 TB — AQE picks broadcast only when it actually fits

@@ -41,10 +41,10 @@ def _iceberg_available(spark: SparkSession) -> bool:
 
 
 def _part_key_col() -> F.Column:
-    return F.concat(
-        F.lpad(F.col("_bucket").cast("string"), 6, "0"), F.lit(":"),
-        F.lpad(F.col("_salt").cast("string"), 4, "0"),
-    )
+    # Must match the engine UDF's Python f"{bucket:06d}:{salt:04d}" exactly:
+    # printf %d semantics widen (never truncate) for >=5-digit or negative
+    # salts, where lpad would truncate '12345' -> '1234' and collide keys.
+    return F.format_string("%06d:%04d", F.col("_bucket"), F.col("_salt"))
 
 
 def read_lineage(spark: SparkSession, root: str) -> DataFrame | None:
