@@ -91,15 +91,13 @@ def _q_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global run count without a single-partition window: range shuffle +
+    per-partition vectorized runs + tiny boundary merge (varint_spark.analysis
+    module docstring has the scale rationale)."""
+    from varint_spark.analysis import run_count
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    w = W.orderBy("l_orderkey", "l_linenumber")
-    runs = li.withColumn("prev", F.lag("l_returnflag").over(w))
-    return runs.select(
-        F.count("*").alias("n_rows"),
-        F.sum(
-            F.when(F.col("prev").isNull() | (F.col("prev") != F.col("l_returnflag")), 1).otherwise(0)
-        ).alias("n_runs"),
-    )
+    return run_count(li, ["l_orderkey", "l_linenumber"], "l_returnflag")
 
 
 def _q_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,9 +359,13 @@ def oracle_sql() -> dict[str, str]:
             " MAX(user_id) AS max_uid, MAX(user_id) - MIN(user_id) AS range_uid"
             " FROM events GROUP BY event_type"
         ),
+        # CAST(... AS BIGINT): DuckDB types integer SUM as HUGEINT, which
+        # pandas materializes as float64 — the value hash then sees 219.0
+        # vs Spark's BIGINT 219 (the r01 hash mismatch)
         "analyze_run_lengths": (
-            "SELECT COUNT(*) AS n_rows,"
-            " SUM(CASE WHEN prev IS NULL OR prev <> l_returnflag THEN 1 ELSE 0 END) AS n_runs"
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,"
+            " CAST(SUM(CASE WHEN prev IS NULL OR prev <> l_returnflag THEN 1 ELSE 0 END)"
+            "   AS BIGINT) AS n_runs"
             " FROM (SELECT l_returnflag,"
             "   LAG(l_returnflag) OVER (ORDER BY l_orderkey, l_linenumber) AS prev"
             "   FROM lineitem)"
@@ -374,7 +376,8 @@ def oracle_sql() -> dict[str, str]:
             " COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_rows FROM orders"
         ),
         "analyze_delta_stats": (
-            "SELECT user_id, COUNT(*) AS n_deltas, SUM(delta_us) AS sum_delta_us,"
+            "SELECT user_id, COUNT(*) AS n_deltas,"
+            " CAST(SUM(delta_us) AS BIGINT) AS sum_delta_us,"
             " MAX(delta_us) AS max_delta_us FROM ("
             "   SELECT user_id, epoch_us(ts) - LAG(epoch_us(ts)) OVER"
             "     (PARTITION BY user_id ORDER BY ts, event_id) AS delta_us FROM events)"
