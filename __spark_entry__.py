@@ -282,7 +282,10 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from varint_spark.pipeline import similarity
 
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dups = embs.limit(20).withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    # deterministic duplicate injection (filter, not limit: limit without
+    # order is partition-order-dependent) — oracle reproduces it exactly
+    dups = embs.filter(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000)
     return similarity.embedding_near_dup_pairs(embs.union(dups), "vec_id",
                                                "embedding", threshold=0.999, bits=6)
 
@@ -293,7 +296,12 @@ def _q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     assigned, cent = ivf_build(embs, "vec_id", "embedding", k_lists=8)
     query = list(embs.orderBy("vec_id").first().embedding)
-    return ivf_topk(assigned, cent, "vec_id", "embedding", query, k=10, nprobe=4)
+    # nprobe = k_lists probes every list: exhaustive by construction, so the
+    # brute-force SQL is an exact oracle for the whole build+assign+probe
+    # machinery; the pruned (nprobe < k_lists) recall path is covered by
+    # tests/test_pipeline.py
+    out = ivf_topk(assigned, cent, "vec_id", "embedding", query, k=10, nprobe=8)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -326,6 +334,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_bitmap_analog": _q_set_ops,
         "topk_per_group": _q_topk_per_group,
     }
+
+
+def _lang_id_oracle() -> str:
+    """Mirror of textstats.lang_id: per-language marker-hit counts, argmax
+    with 'first language reaching the max wins' and 'und' on zero hits."""
+    from varint_spark.pipeline.textstats import _LANG_MARKERS
+
+    toks = (r"list_filter(regexp_split_to_array(lower(text), '\s+'),"
+            " t -> length(t) > 0)")
+    score = {
+        lang: (f"CAST(len(list_filter({toks}, t -> list_contains("
+               f"[{', '.join(repr(m) for m in markers)}], t))) AS INT)")
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    langs = list(_LANG_MARKERS)
+    best = f"greatest({', '.join(f's_{lg}' for lg in langs)})"
+    pick = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in langs) + " END"
+    inner = "SELECT doc_id, " + ", ".join(
+        f"{expr} AS s_{lg}" for lg, expr in score.items()) + " FROM documents"
+    return (f"SELECT doc_id, {pick} AS lang_pred, "
+            + ", ".join(f"s_{lg}" for lg in langs)
+            + f" FROM ({inner})")
+
+
+def _lsh_oracle(bits: int = 4, dim: int = 64, seed: int = 42) -> str:
+    """Reproduce lsh_cosine_topk in SQL: the hyperplanes are a deterministic
+    function of (seed, bits, dim), so their float64 literals are baked into
+    the query and the bucket is recomputed with sign tests. Sound because
+    the smallest |dot| margin on this data (~9e-5) is ~1e9× any
+    fold-order float noise, so Spark and DuckDB agree on every sign."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((bits, dim))
+    lits = ["[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lits[i]}) >= 0 THEN {1 << (bits - 1 - i)} ELSE 0 END)"
+        for i in range(bits))
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+        " q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1),"
+        f" b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),"
+        " qb AS (SELECT bucket AS qbucket FROM b ORDER BY vec_id LIMIT 1)"
+        " SELECT vec_id, round(list_cosine_similarity(b.v, q.qv), 4) AS cosine"
+        " FROM b, q, qb WHERE b.bucket = qb.qbucket"
+        " ORDER BY list_cosine_similarity(b.v, q.qv) DESC, vec_id LIMIT 10"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -398,6 +453,45 @@ def oracle_sql() -> dict[str, str]:
             "   AS avg_tok_len"
             " FROM documents"
         ),
+        # Exact all-pairs character-5-gram Jaccard >= 0.8 on the doubled
+        # corpus. Sound as an oracle for the LSH+verify pipeline because the
+        # LSH stage has empirically-full recall on this data (every true
+        # pair has j >= 0.8 where band-hit probability is ~1) — the verify
+        # stage then computes the same exact Jaccard. The size-ratio join
+        # bound is lossless: j <= min(|A|,|B|)/max(|A|,|B|).
+        "dedup_minhash_jaccard": (
+            "WITH corpus AS ("
+            "  SELECT doc_id, text FROM documents"
+            "  UNION ALL SELECT doc_id + 1000000, text FROM documents),"
+            " shingled AS ("
+            "  SELECT doc_id,"
+            "    list_sort(list_distinct(list_transform(range(length(text) - 4),"
+            "      i -> hash(substr(text, CAST(i + 1 AS INT), 5))))) AS g"
+            "  FROM corpus),"
+            " pairs AS ("
+            "  SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            "    len(list_intersect(a.g, b.g))::DOUBLE"
+            "      / greatest(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)), 1) AS j"
+            "  FROM shingled a JOIN shingled b"
+            "    ON a.doc_id < b.doc_id"
+            "   AND least(len(a.g), len(b.g))::DOUBLE / greatest(len(a.g), len(b.g), 1) >= 0.8)"
+            " SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.8"
+        ),
+        "text_quality_score": (
+            "SELECT doc_id,"
+            r" round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))"
+            "   / greatest(length(text), 1), 6) AS punct_ratio,"
+            " round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))"
+            "   / greatest(length(text), 1), 6) AS upper_ratio,"
+            r" round(len(list_filter(list_filter(regexp_split_to_array(lower(text), '\s+'),"
+            "     t -> length(t) > 0),"
+            "     t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t)))"
+            r"   / greatest(len(list_filter(regexp_split_to_array(lower(text), '\s+'),"
+            "     t -> length(t) > 0)), 1), 6) AS stopword_ratio,"
+            " CASE WHEN length(text) BETWEEN 200 AND 20000 THEN 1.0 ELSE 0.0 END AS len_ok"
+            " FROM documents"
+        ),
+        "text_lang_id": _lang_id_oracle(),
         "similarity_topk": (
             "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings"
             "           ORDER BY vec_id LIMIT 1)"
@@ -406,6 +500,31 @@ def oracle_sql() -> dict[str, str]:
             " FROM embeddings, q"
             " ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.qv) DESC, vec_id"
             " LIMIT 10"
+        ),
+        "similarity_topk_lsh": _lsh_oracle(),
+        # nprobe = k_lists makes the IVF query exhaustive by construction
+        # (see _q_similarity_ivf) — brute-force top-k is the exact oracle
+        "similarity_topk_ivf": (
+            "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings"
+            "           ORDER BY vec_id LIMIT 1)"
+            " SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 4)"
+            "   AS cosine"
+            " FROM embeddings, q"
+            " ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.qv) DESC, vec_id"
+            " LIMIT 10"
+        ),
+        # all-pairs exact cosine >= threshold: sound because only injected
+        # exact duplicates reach 0.999 on this data (no natural pair >= 0.95)
+        # and identical vectors always share every LSH sign bit
+        "embedding_near_dup": (
+            "WITH e AS ("
+            "  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+            "  UNION ALL SELECT vec_id + 1000000, embedding::DOUBLE[]"
+            "    FROM embeddings WHERE vec_id < 20),"
+            " p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+            "   list_cosine_similarity(a.v, b.v) AS c"
+            "   FROM e a JOIN e b ON a.vec_id < b.vec_id)"
+            " SELECT id_a, id_b, round(c, 6) AS cosine FROM p WHERE c >= 0.999"
         ),
         "q1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,"

@@ -58,6 +58,15 @@ def main():
         status = "OK"
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False)
+            # the driver's value hash is dtype-sensitive (r01: DuckDB HUGEINT
+            # -> float64 vs Spark BIGINT hashed differently despite equal
+            # values) — flag any raw-dtype divergence normalize() hid
+            raw_s = {c: str(t) for c, t in sdf.dtypes.items()}
+            raw_o = {c: str(t) for c, t in odf.dtypes.items()}
+            diff = {c: (raw_s[c], raw_o.get(c)) for c in raw_s if raw_s[c] != raw_o.get(c)}
+            if diff:
+                status = f"DTYPE MISMATCH (values equal): {diff}"
+                failures.append(name)
         except AssertionError as e:
             status = f"MISMATCH: {str(e)[:300]}"
             failures.append(name)

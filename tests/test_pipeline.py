@@ -175,3 +175,24 @@ def test_ivf_ann_recall(spark, embs):
     assert exact[0] in approx
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.5, recall
+
+
+def test_embedding_near_dup_bucket_guard(spark, embs):
+    """A degenerate bucket (one vector duplicated many times) larger than
+    max_bucket_size is dropped instead of going quadratic."""
+    from pyspark.sql import functions as SF
+    from varint_spark.pipeline import similarity
+
+    base = embs.filter(SF.col("vec_id") < 5)
+    flood = base.filter(SF.col("vec_id") == 0)
+    for i in range(1, 40):
+        flood = flood.union(
+            base.filter(SF.col("vec_id") == 0).withColumn("vec_id", SF.lit(1000 + i)))
+    df = base.union(flood)
+    guarded = similarity.embedding_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.999, bits=2, max_bucket_size=8)
+    flood_ids = {r.id_a for r in guarded.collect()} | {r.id_b for r in guarded.collect()}
+    assert not any(i >= 1000 for i in flood_ids)  # flooded bucket dropped
+    unguarded = similarity.embedding_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.999, bits=2, max_bucket_size=10_000)
+    assert unguarded.count() >= 800  # without the guard it explodes (~C(41,2))

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _dot(a, b):
@@ -77,16 +77,24 @@ def lsh_cosine_topk(df: DataFrame, id_col: str, vec_col: str, query: list[float]
 
 def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                              threshold: float = 0.95, bits: int = 6,
-                             seed: int = 42, dim: int | None = None) -> DataFrame:
+                             seed: int = 42, dim: int | None = None,
+                             max_bucket_size: int = 10_000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at scale: random-hyperplane
     LSH buckets prune candidates (near-identical vectors share all sign
     bits with high probability), then exact cosine verifies. One shuffle
-    for the bucket self-join; candidate count ~ n²/2^bits per bucket."""
+    for the bucket self-join; candidate count ~ n²/2^bits per bucket.
+
+    ``max_bucket_size`` drops degenerate buckets (e.g. all-zero vectors
+    hashing together) whose self-join would go quadratic — the same skew
+    guard as the minhash path (dedup.minhash_lsh_pairs)."""
     if dim is None:
         first = df.select(vec_col).first()
         dim = len(first[0])
     bucketed = hyperplane_signs(df, vec_col, dim, bits, seed).select(
         F.col(id_col), F.col(vec_col), F.col("bucket"))
+    w_b = Window.partitionBy("bucket")
+    bucketed = bucketed.withColumn("_bsz", F.count("*").over(w_b)) \
+        .filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
     left = bucketed.alias("l")
     right = bucketed.alias("r")
     pairs = (
@@ -137,8 +145,13 @@ def ivf_build(df: DataFrame, id_col: str, vec_col: str, k_lists: int = 16,
     ``ivf_list`` so a query's nprobe lists prune to a few partitions."""
     import pyarrow as pa
 
-    sample = np.array([r[0] for r in df.select(vec_col).limit(sample_rows).collect()],
-                      dtype=np.float64)
+    # sample(), not limit(): limit takes the first partition(s), which
+    # biases the centroids toward one shard of the data; a seeded sample
+    # is representative and still a bounded driver-side collect
+    rows = df.select(vec_col).sample(fraction=0.5, seed=seed).limit(sample_rows).collect()
+    if len(rows) < sample_rows:  # small inputs: top up deterministically
+        rows = df.select(vec_col).limit(sample_rows).collect()
+    sample = np.array([r[0] for r in rows], dtype=np.float64)
     cent = _kmeans(sample, k_lists, seed=seed)
     bc = df.sparkSession.sparkContext.broadcast(cent)
 
