@@ -176,7 +176,10 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from varint_spark.pipeline import dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup.simhash(docs, "doc_id", "text")
+    # portable token hash: same SimHash machinery, but the token hash is a
+    # polynomial fold the DuckDB oracle reproduces exactly (xxhash64 has no
+    # SQL twin); xxhash64 stays the production default (tests cover it)
+    return dedup.simhash(docs, "doc_id", "text", hash_mode="portable")
 
 
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,13 +226,20 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from varint_spark.pipeline import textstats
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return textstats.fingerprints(docs, "doc_id", "text")
+    # portable mod-(2^31-1) hash so the DuckDB oracle can recompute the
+    # winnowing min per document; the 64-bit kernel stays the default
+    return textstats.fingerprints(docs, "doc_id", "text", portable=True)
 
 
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from varint_spark.pipeline import multimodal
 
-    media = multimodal.synthesize_media(spark, n=120)
+    # media derived from the documents table (payload = UTF-8 text bytes):
+    # the deterministic fake decoder (sha256 digest bytes / 255) is then
+    # SQL-expressible, so the whole binary-column + mapInArrow plumbing
+    # gets a value-level oracle instead of a rows-only check
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = multimodal.media_from_documents(docs)
     feats = multimodal.extract_features(media, feature_dim=8)
     return feats.select("media_id", F.round(F.aggregate(
         "features", F.lit(0.0), lambda a, x: a + x), 6).alias("feature_sum"))
@@ -383,6 +393,57 @@ def _lsh_oracle(bits: int = 4, dim: int = 64, seed: int = 42) -> str:
     )
 
 
+def _duck_poly_fold(expr: str, base: int, length_expr: str) -> str:
+    """DuckDB mirror of dedup.portable_token_hash's fold: left fold of
+    (a*base + codepoint) % (2^31-1) over the codepoints of ``expr``."""
+    chars = (f"list_transform(range({length_expr}),"
+             f" i -> CAST(ascii(substr({expr}, CAST(i + 1 AS INT), 1)) AS BIGINT))")
+    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), {chars}),"
+            f" (a, c) -> (a * {base} + c) % 2147483647)")
+
+
+def _simhash_oracle() -> str:
+    """SimHash recomputed in SQL: portable token hash (two polynomial
+    folds), per-bit signed sums, sign-bit reassembly — mirrors
+    dedup.simhash(hash_mode='portable') term by term."""
+    h = (f"({_duck_poly_fold('tok', 31, 'length(tok)')} * 2147483648"
+         f" + {_duck_poly_fold('tok', 37, 'length(tok)')})")
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64))
+    terms = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i if i < 63 else -(1 << 63)} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for i in range(64))
+    return (
+        "WITH toks AS (SELECT doc_id,"
+        r" unnest(list_filter(regexp_split_to_array(text, '\s+'),"
+        " t -> length(t) > 0)) AS tok FROM documents),"
+        f" h AS (SELECT doc_id, {h} AS h FROM toks),"
+        f" bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)"
+        f" SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM bits"
+    )
+
+
+def _fingerprint_oracle(window: int = 16) -> str:
+    """Winnowing fingerprint in SQL: min over all ``window``-codepoint
+    polynomial hashes (mod 2^31-1), mirroring
+    textstats.fingerprints(portable=True); docs shorter than the window
+    fingerprint as 0 by definition of the portable mode."""
+    chars = (f"list_transform(range({window}),"
+             " k -> CAST(ascii(substr(text, CAST(j + k + 1 AS INT), 1)) AS BIGINT))")
+    fold = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), {chars}),"
+            " (a, c) -> (a * 31 + c) % 2147483647)")
+    return (
+        "SELECT doc_id,"
+        f" CASE WHEN length(text) < {window} THEN CAST(0 AS BIGINT)"
+        f" ELSE CAST(list_min(list_transform(range(length(text) - {window} + 1),"
+        f"   j -> {fold})) AS BIGINT)"
+        " END AS fingerprint"
+        " FROM documents"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "roundtrip_events": "SELECT event_id, ts, user_id, event_type, value, props FROM events",
@@ -492,6 +553,20 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents"
         ),
         "text_lang_id": _lang_id_oracle(),
+        "simhash_documents": _simhash_oracle(),
+        # fake decoder = sha256(payload) bytes / 255; payload = UTF-8 text
+        # bytes, so DuckDB's sha256(text) sees identical input. Fold order
+        # mirrors Spark's sequential F.aggregate exactly (list_reduce).
+        "multimodal_features": (
+            "SELECT doc_id AS media_id,"
+            " round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            "   list_transform(range(8), i ->"
+            "     CAST(('0x' || substr(sha256(text), CAST(i*2+1 AS INT), 2)) AS INT)"
+            "     / 255.0)),"
+            "   (a, c) -> a + c), 6) AS feature_sum"
+            " FROM documents"
+        ),
+        "fingerprint_documents": _fingerprint_oracle(),
         "similarity_topk": (
             "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings"
             "           ORDER BY vec_id LIMIT 1)"

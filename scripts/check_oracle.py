@@ -61,8 +61,11 @@ def main():
             # the driver's value hash is dtype-sensitive (r01: DuckDB HUGEINT
             # -> float64 vs Spark BIGINT hashed differently despite equal
             # values) — flag any raw-dtype divergence normalize() hid
-            raw_s = {c: str(t) for c, t in sdf.dtypes.items()}
-            raw_o = {c: str(t) for c, t in odf.dtypes.items()}
+            def _fam(t):  # datetime resolution (ns vs us) hashes identically
+                s = str(t)
+                return "datetime64" if s.startswith("datetime64") else s
+            raw_s = {c: _fam(t) for c, t in sdf.dtypes.items()}
+            raw_o = {c: _fam(t) for c, t in odf.dtypes.items()}
             diff = {c: (raw_s[c], raw_o.get(c)) for c in raw_s if raw_s[c] != raw_o.get(c)}
             if diff:
                 status = f"DTYPE MISMATCH (values equal): {diff}"

@@ -56,6 +56,52 @@ def main() -> None:
             "decode_MBps": round(data.nbytes / t_dec / 1e6, 1),
             "ratio": round(data.nbytes / len(buf), 2),
         }
+
+    # shingle hashing: corpus-plane kernel vs the per-document loop it
+    # replaced (billions of short docs make the doc loop the bottleneck)
+    import pandas as pd
+    from varint_spark.pipeline import textkernels as tk
+
+    import pyarrow as pa_mod
+
+    corpora = {
+        "shingle_hash_200k_med_docs": pd.Series(
+            ["doc %d " % i + "lorem ipsum dolor sit amet " * (3 + i % 5)
+             for i in range(200_000)]),
+        # the motivating shape: billions of SHORT docs, where the per-doc
+        # Python loop (~µs/doc regardless of size) dominates
+        "shingle_hash_500k_short_docs": pd.Series(
+            ["short doc number %d" % i for i in range(500_000)]),
+    }
+    for bench_name, texts in corpora.items():
+        nbytes = int(texts.str.len().sum())
+
+        def legacy(texts=texts):
+            base = np.uint64(1099511628211)
+            acc = np.uint64(0)
+            for t in texts:
+                b = np.frombuffer(t.encode(), dtype=np.uint8)
+                h = np.zeros(len(b) - 4, dtype=np.uint64)
+                for k in range(5):
+                    h = h * base + b[k: len(b) - 4 + k].astype(np.uint64)
+                acc ^= h.min()
+            return acc
+
+        arrow_texts = pa_mod.array(texts)
+
+        def plane(arrow_texts=arrow_texts):
+            # the UDF-path shape: zero-copy plane from the Arrow buffers
+            p, o = tk.arrow_plane(arrow_texts)
+            h, ho = tk.window_hashes(p, o, 5)
+            return tk.min_per_doc(h, ho)
+
+        t_legacy, _ = _best_of(legacy, reps=1)
+        t_plane, _ = _best_of(plane, reps=3)
+        results[bench_name] = {
+            "legacy_loop_MBps": round(nbytes / t_legacy / 1e6, 1),
+            "plane_kernel_MBps": round(nbytes / t_plane / 1e6, 1),
+            "speedup": round(t_legacy / t_plane, 1),
+        }
     print(json.dumps(results, indent=1))
 
 

@@ -17,10 +17,11 @@ parallelism levels.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F, Window as W
+
+from . import textkernels
 
 MERSENNE = (1 << 61) - 1
 
@@ -32,43 +33,31 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     return df.withColumn("dup_rank", F.row_number().over(w) - 1)
 
 
-def _shingle_hashes(texts: pd.Series, width: int) -> list[np.ndarray]:
-    """Per text: uint64 hashes of its character ``width``-shingles
-    (vectorized rolling polynomial hash over the byte plane)."""
-    out = []
-    base = np.uint64(1099511628211)
-    for t in texts:
-        b = np.frombuffer(t.encode("utf-8", "surrogatepass"), dtype=np.uint8)
-        if len(b) < width:
-            out.append(np.zeros(1, dtype=np.uint64) if len(b) == 0
-                       else np.array([b.astype(np.uint64).sum()], dtype=np.uint64))
-            continue
-        h = np.zeros(len(b) - width + 1, dtype=np.uint64)
-        for k in range(width):  # width is small (5): 5 vector ops, not per-row
-            h = h * base + b[k : len(b) - width + 1 + k].astype(np.uint64)
-        out.append(np.unique(h))
-    return out
-
-
 def make_minhash_udf(num_hashes: int, shingle_width: int, seed: int = 42):
     rng = np.random.default_rng(seed)
     a = rng.integers(1, MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
     b = rng.integers(0, MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
 
     def udf(iterator):
-        for batch in iterator:
-            tbl = batch if isinstance(batch, pa.RecordBatch) else batch
-            texts = tbl.column("text").to_pandas()
+        for tbl in iterator:
             ids = tbl.column("_mh_id")
-            sigs = []
-            for hashes in _shingle_hashes(texts, shingle_width):
-                # universal hashing family: (a*x + b) mod p, min per row
-                vals = (a[:, None] * hashes[None, :] + b[:, None]) % np.uint64(MERSENNE)
-                sigs.append(vals.min(axis=1).astype(np.int64))
-            yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(sigs, type=pa.list_(pa.int64()))],
-                names=["_mh_id", "signature"],
+            n = len(ids)
+            # one corpus plane for the whole batch, zero-copy from the
+            # Arrow string buffers: every shingle hash in the batch is
+            # computed with O(plane) vector ops, no per-doc loop
+            plane, offs = textkernels.arrow_plane(tbl.column("text"))
+            hashes, hoffs = textkernels.window_hashes(plane, offs, shingle_width)
+            sig = np.zeros((n, num_hashes), dtype=np.int64)
+            if len(hashes):
+                for i in range(num_hashes):  # loops over hash fns, not docs
+                    # universal hashing family: (a*x + b) mod p, min per doc
+                    vals = (a[i] * hashes + b[i]) % np.uint64(MERSENNE)
+                    sig[:, i] = np.minimum.reduceat(vals, hoffs[:-1]).astype(np.int64)
+            lst = pa.ListArray.from_arrays(
+                np.arange(0, (n + 1) * num_hashes, num_hashes, dtype=np.int32),
+                pa.array(sig.ravel(), type=pa.int64()),
             )
+            yield pa.RecordBatch.from_arrays([ids, lst], names=["_mh_id", "signature"])
 
     return udf
 
@@ -119,14 +108,40 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def portable_token_hash(tok: F.Column) -> F.Column:
+    """62-bit token hash from two mod-(2^31-1) polynomial folds over
+    codepoints (bases 31 and 37) — exactly reproducible in ANSI SQL
+    (DuckDB list_reduce), unlike xxhash64. All JVM-side higher-order
+    functions; byte-identical to the SQL form on any text (codepoints)."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(tok)),
+        lambda i: F.ascii(F.substr(tok, i, F.lit(1))).cast("long"),
+    )
+
+    def fold(base: int) -> F.Column:
+        return F.aggregate(
+            chars, F.lit(0).cast("long"),
+            lambda a, c: (a * F.lit(base) + c) % F.lit(2147483647),
+        )
+
+    return fold(31) * F.lit(2147483648) + fold(37)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            hash_mode: str = "xxhash64") -> DataFrame:
     """64-bit SimHash from whitespace-token hashes — pure DataFrame ops:
-    explode tokens, sum signed bit contributions, reassemble the sign bits."""
+    explode tokens, sum signed bit contributions, reassemble the sign bits.
+
+    ``hash_mode='portable'`` swaps xxhash64 for the SQL-reproducible
+    polynomial token hash (top 2 bits always clear) so a relational oracle
+    can recompute the result; xxhash64 stays the production default."""
     tokens = df.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
     ).filter(F.length("tok") > 0)
-    th = tokens.withColumn("h", F.xxhash64("tok"))
+    hcol = (F.xxhash64("tok") if hash_mode == "xxhash64"
+            else portable_token_hash(F.col("tok")))
+    th = tokens.withColumn("h", hcol)
     bits = th.select(
         id_col,
         *[
@@ -159,15 +174,13 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str, text_col: 
 
     def udf(iterator):
         for tbl in iterator:
-            ta = tbl.column("text_a").to_pandas()
-            tb = tbl.column("text_b").to_pandas()
-            ha = _shingle_hashes(ta, shingle_width)
-            hb = _shingle_hashes(tb, shingle_width)
-            jac = np.array([
-                len(np.intersect1d(x, y, assume_unique=True))
-                / max(len(np.union1d(x, y)), 1)
-                for x, y in zip(ha, hb)
-            ])
+            pa_, ao = textkernels.arrow_plane(tbl.column("text_a"))
+            pb_, bo = textkernels.arrow_plane(tbl.column("text_b"))
+            ha, aoffs = textkernels.unique_per_doc(
+                *textkernels.window_hashes(pa_, ao, shingle_width))
+            hb, boffs = textkernels.unique_per_doc(
+                *textkernels.window_hashes(pb_, bo, shingle_width))
+            jac = textkernels.pair_jaccard(ha, aoffs, hb, boffs)
             yield pa.RecordBatch.from_arrays(
                 [tbl.column("id_a"), tbl.column("id_b"), pa.array(jac, type=pa.float64())],
                 names=["id_a", "id_b", "jaccard"],

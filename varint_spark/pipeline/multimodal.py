@@ -37,6 +37,30 @@ def synthesize_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_DDL)
 
 
+def media_from_documents(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Derive a media table from a real document table: payload = the
+    UTF-8 text bytes as an opaque binary column + typed metadata. Gives
+    the multimodal plumbing a relational provenance (a SQL oracle can
+    recompute the fake-decoder features from the same table), unlike a
+    driver-synthesized table."""
+    mod = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col(id_col) % 3 + 1).cast("int"))
+    mimes = F.element_at(
+        F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+        (F.col(id_col) % 3 + 1).cast("int"))
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        mod.alias("modality"),
+        mimes.alias("mime"),
+        (F.length(text_col) % 512 + 16).cast("int").alias("width"),
+        (F.length(text_col) % 256 + 16).cast("int").alias("height"),
+        (F.length(text_col) * 100).cast("int").alias("duration_ms"),
+        F.encode(text_col, "UTF-8").alias("payload"),
+    )
+
+
 def _fake_decode(payload: bytes, modality: str) -> np.ndarray:
     """Deterministic stand-in for a real media decoder: a fixed-length
     feature vector derived from the payload digest. A real deployment

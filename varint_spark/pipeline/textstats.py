@@ -5,10 +5,11 @@ rolling-hash fingerprint (vectorized Arrow UDF).
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F
+
+from . import textkernels
 
 STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"]
 
@@ -81,24 +82,25 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                          *[F.col(f"s_{lg}") for lg in langs])
 
 
-def make_fingerprint_udf(id_name: str, text_name: str, window: int = 16):
+def make_fingerprint_udf(id_name: str, text_name: str, window: int = 16,
+                         portable: bool = False):
     """Winnowing-style fingerprint: min rolling hash over each document
-    (one uint64 per doc) — vectorized numpy rolling polynomial hash."""
+    (one int64 per doc) — corpus-plane kernel, no per-document Python
+    (varint_spark.pipeline.textkernels).
+
+    ``portable=True`` switches to the mod-(2^31-1) polynomial hash that
+    ANSI SQL can reproduce exactly (codepoint-based; identical to the
+    byte-based kernel on ASCII text) — used by the driver query so the
+    DuckDB oracle can recompute fingerprints. Default stays the 64-bit
+    FNV-base hash (stronger; collision odds ~2^-64 per pair)."""
 
     def udf(iterator):
-        base = np.uint64(1099511628211)
         for tbl in iterator:
-            texts = tbl.column(text_name).to_pandas()
-            fps = np.zeros(len(texts), dtype=np.int64)
-            for i, t in enumerate(texts):
-                b = np.frombuffer(t.encode("utf-8", "surrogatepass"), dtype=np.uint8)
-                if len(b) == 0:
-                    continue
-                w = min(window, len(b))
-                h = np.zeros(len(b) - w + 1, dtype=np.uint64)
-                for k in range(w):
-                    h = h * base + b[k : len(b) - w + 1 + k].astype(np.uint64)
-                fps[i] = np.int64(h.min() & np.uint64(0x7FFFFFFFFFFFFFFF))
+            plane, offs = textkernels.arrow_plane(tbl.column(text_name))
+            if portable:
+                fps = textkernels.portable_window_min(plane, offs, window)
+            else:
+                fps = textkernels.fingerprint_per_doc(plane, offs, window)
             yield pa.RecordBatch.from_arrays(
                 [tbl.column(id_name), pa.array(fps, type=pa.int64())],
                 names=[id_name, "fingerprint"],
@@ -107,7 +109,8 @@ def make_fingerprint_udf(id_name: str, text_name: str, window: int = 16):
     return udf
 
 
-def fingerprints(df: DataFrame, id_col: str, text_col: str, window: int = 16) -> DataFrame:
+def fingerprints(df: DataFrame, id_col: str, text_col: str, window: int = 16,
+                 portable: bool = False) -> DataFrame:
     src = df.select(id_col, text_col)
-    return src.mapInArrow(make_fingerprint_udf(id_col, text_col, window),
+    return src.mapInArrow(make_fingerprint_udf(id_col, text_col, window, portable),
                           f"{id_col} long, fingerprint long")
