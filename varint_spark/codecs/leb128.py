@@ -28,46 +28,54 @@ def encoded_sizes(values: np.ndarray) -> np.ndarray:
     """Per-value encoded byte counts (1..10) — also the reference-faithful
     'varint stream size' cost model used by the selector's cost gate."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
-    # nbytes = 1 + sum_k [v >= 2^(7k)]   (k = 1..9)
-    nbytes = np.ones(len(v), dtype=np.int64)
-    for t in _THRESHOLDS:
-        nbytes += (v >= t).astype(np.int64)
-    return nbytes
+    # one binary search against the 9 width thresholds beats 9 full
+    # comparison passes: nbytes = #{k : v >= 2^(7k)} + 1
+    return np.searchsorted(_THRESHOLDS, v, side="right") + 1
 
 
-_TILE = 1 << 20  # values per tile: bounds the (tile, 10) scratch to ~10-80 MB
 _SHIFTS = np.arange(10, dtype=np.uint64) * _U64(7)
-_PLANE_IDX = np.arange(10, dtype=np.int64)
 
 
-def _encode_tile(v: np.ndarray, nbytes: np.ndarray, out: np.ndarray, pos: int) -> int:
-    """Emit one tile: build the (n, maxb) byte matrix, mark continuation
-    bits, then extract the per-row valid prefixes in one boolean-mask pass
-    (C-order extraction concatenates rows — exactly the LEB128 stream)."""
-    maxb = int(nbytes.max())
-    planes = (v[:, None] >> _SHIFTS[None, :maxb]).astype(np.uint8)
-    planes &= np.uint8(0x7F)
-    cont = _PLANE_IDX[None, :maxb] < (nbytes[:, None] - 1)
-    planes[cont] |= _CONT
-    valid = _PLANE_IDX[None, :maxb] < nbytes[:, None]
-    chunk = planes[valid]
-    out[pos : pos + len(chunk)] = chunk
-    return pos + len(chunk)
+def _width_matrix(vv: np.ndarray, w: int) -> np.ndarray:
+    """(k, w) LEB128 byte matrix for values that all need exactly w bytes."""
+    mat = (vv[:, None] >> _SHIFTS[None, :w]).astype(np.uint8)
+    mat &= np.uint8(0x7F)
+    if w > 1:
+        mat[:, : w - 1] |= _CONT
+    return mat
 
 
 def encode(values: np.ndarray) -> bytes:
-    """uint64 array -> LEB128 byte stream."""
+    """uint64 array -> LEB128 byte stream.
+
+    Width-bucketed: values are grouped by encoded byte count (<= 10
+    classes), each class emitted as a dense (k, w) matrix — no per-row
+    boolean masking, and the common single-width case (e.g. small deltas)
+    is a pure reshape with zero scatter."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
         return b""
     nbytes = encoded_sizes(v)
+    lo, hi = int(nbytes.min()), int(nbytes.max())
+    if lo == hi:  # single width: the stream IS the row-major matrix
+        return _width_matrix(v, lo).tobytes()
     total = int(nbytes.sum())
     out = np.empty(total, dtype=np.uint8)
-    pos = 0
-    for start in range(0, n, _TILE):
-        end = min(start + _TILE, n)
-        pos = _encode_tile(v[start:end], nbytes[start:end], out, pos)
+    offs = np.empty(n, dtype=np.int64)
+    offs[0] = 0
+    np.cumsum(nbytes[:-1], out=offs[1:])
+    for w in range(lo, hi + 1):
+        idx = np.flatnonzero(nbytes == w)
+        if len(idx) == 0:
+            continue
+        vv = v[idx]
+        base = offs[idx]
+        for j in range(w):  # per byte position: no dest matrix, no u64 temp
+            byte = ((vv >> _U64(7 * j)) & _MASK7).astype(np.uint8)
+            if j < w - 1:
+                byte |= _CONT
+            out[base + j] = byte
     return out.tobytes()
 
 
@@ -88,18 +96,29 @@ def decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarray:
         raise ValueError(f"expected {count} values, found {n_vals} terminal bytes")
     if not is_term[-1]:
         raise ValueError("truncated LEB128 stream (no terminal byte at end)")
-    # Gather-matrix decode: (n, maxb) byte matrix per value, mask the tail,
-    # fold with shifts — fewer passes than per-byte segment arithmetic.
+    # Width-bucketed decode: per byte-length class, gather the class's
+    # bytes densely and fold with shifts — total gathered bytes equal the
+    # stream length, vs maxb*n for the clipped gather-matrix approach.
     starts = np.empty(n_vals, dtype=np.int64)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
     lens = ends - starts + 1
-    maxb = int(lens.max())
-    if maxb > 10:
+    lo, hi = int(lens.min()), int(lens.max())
+    if hi > 10:
         raise ValueError("LEB128 value longer than 10 bytes")
-    idx = starts[:, None] + np.arange(maxb, dtype=np.int64)[None, :]
-    np.clip(idx, 0, len(b) - 1, out=idx)
-    mat = (b[idx] & np.uint8(0x7F)).astype(np.uint64)
-    mat *= np.arange(maxb, dtype=np.int64)[None, :] < lens[:, None]
-    mat <<= (np.arange(maxb, dtype=np.uint64) * _U64(7))[None, :]
-    return np.bitwise_or.reduce(mat, axis=1)
+    payload = b & np.uint8(0x7F)
+    if lo == hi:  # single width: one reshape, no index gather
+        mat = payload.reshape(n_vals, lo).astype(np.uint64)
+        mat <<= _SHIFTS[None, :lo]
+        return np.bitwise_or.reduce(mat, axis=1)
+    out = np.empty(n_vals, dtype=np.uint64)
+    for w in range(lo, hi + 1):
+        idx = np.flatnonzero(lens == w)
+        if len(idx) == 0:
+            continue
+        pos = starts[idx]
+        acc = payload[pos].astype(np.uint64)
+        for k in range(1, w):
+            acc |= payload[pos + k].astype(np.uint64) << _U64(7 * k)
+        out[idx] = acc
+    return out
