@@ -77,6 +77,28 @@ def _q_pfor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roundtrip(df, "event_id", "event_id", _OPTS)
 
 
+def _q_float_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy float roundtrip (reference varintFloatEncode MEDIUM mode,
+    src/varintFloat.h:27-114): every decoded value must sit within the
+    mode's 2^-10 relative error bound (specials exact), which the oracle
+    asserts as a constant-true column — a hash mismatch means some value
+    escaped the bound."""
+    import dataclasses
+
+    from varint_spark.engine import roundtrip
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "value")
+    opts = dataclasses.replace(_OPTS, f64_precision="medium")
+    dec = roundtrip(ev, "event_id", "event_id", opts).withColumnRenamed("value", "dec")
+    joined = ev.join(dec, "event_id")
+    bound = F.abs(F.col("dec") - F.col("value")) <= F.lit(2.0 ** -10) * F.abs(F.col("value"))
+    return joined.select(
+        "event_id",
+        ((F.col("dec") == F.col("value")) | bound
+         | (F.col("dec").isNull() & F.col("value").isNull())).alias("within_bound"),
+    )
+
+
 def _q_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -322,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_documents": _rt("documents", "lang", "doc_id"),
         "roundtrip_transcripts": _q_transcripts,
         "codec_pfor_outliers": _q_pfor,
+        "codec_float_lossy": _q_float_lossy,
         "analyze_minmax_range": _q_minmax,
         "analyze_run_lengths": _q_runs,
         "analyze_cardinality": _q_cardinality,
@@ -469,6 +492,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id,"
             " CASE WHEN event_id % 20 = 0 THEN user_id * 1000000000 ELSE user_id END AS v"
             " FROM events"
+        ),
+        "codec_float_lossy": (
+            "SELECT event_id, TRUE AS within_bound FROM events"
         ),
         "analyze_minmax_range": (
             "SELECT event_type, COUNT(*) AS cnt, MIN(user_id) AS min_uid,"

@@ -1,0 +1,146 @@
+"""Lossy float codec — IEEE-754 sign/exponent/mantissa decomposition with
+precision modes and an error-bounded auto-selector.
+
+Mirrors the reference float codec (reference src/varintFloat.h:27-114
+precision modes FULL/HIGH/MEDIUM/LOW = 52/23/10/4 mantissa bits;
+round-to-nearest mantissa truncation src/varintFloat.c:111-128;
+special-value bitmap src/varintFloat.c:221-254; error-bound auto-selection
+thresholds src/varintFloat.c:568-596). Tests mirror
+reference src/varintFloatTest.c round-trip-within-bound suites.
+
+Differences (documented, deliberate): the exponent always keeps its full
+11 bits (the reference narrows to 8/5 bits in HIGH..LOW modes, clipping
+range); rounding is applied to the whole bit pattern so a mantissa carry
+propagates into the exponent exactly as IEEE ulp arithmetic does.
+
+Payload layout (after the standard [codec_id][count] block header)::
+
+    [precision: 1]
+    [special bitmap: packbits(count)]      NaN/Inf/zero/subnormal positions
+    [special bit patterns: 8B LE each]     stored exact (lossless)
+    [signs:      packbits(n_normal, 1)]
+    [exponents:  packbits(n_normal, 11)]
+    [mantissas:  packbits(n_normal, mbits)]
+
+Operates on int64 *bit patterns* (the engine's f64 convention).
+This codec never enters the automatic cost gate: lossless stays the
+default; lossy is an explicit opt-in (EncodeOptions.f64_precision).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import bitpack, blocks
+
+PRECISIONS = {"full": 52, "high": 23, "medium": 10, "low": 4}
+_PRECISION_IDS = {"full": 0, "high": 1, "medium": 2, "low": 3}
+_ID_PRECISIONS = {v: k for k, v in _PRECISION_IDS.items()}
+
+_U64 = np.uint64
+_EXP_MASK = _U64(0x7FF)
+_MANT_MASK = _U64((1 << 52) - 1)
+
+
+def max_relative_error(precision: str) -> float:
+    """2^-mantissa_bits (reference varintFloatPrecisionMaxRelativeError)."""
+    return 2.0 ** -PRECISIONS[precision]
+
+
+def select_precision(max_rel_error: float) -> str:
+    """Error-bounded auto-selection — same thresholds as the reference's
+    varintFloatEncodeAuto (src/varintFloat.c:581-589)."""
+    if max_rel_error < 1e-10:
+        return "full"
+    if max_rel_error < 5e-4:
+        return "high"
+    if max_rel_error < 0.03:
+        return "medium"
+    return "low"
+
+
+def _special_mask(bits: np.ndarray) -> np.ndarray:
+    """NaN/Inf (exp=0x7FF) and zero/subnormal (exp=0) are stored exact."""
+    exp = (bits.view(np.uint64) >> _U64(52)) & _EXP_MASK
+    return (exp == _EXP_MASK) | (exp == _U64(0))
+
+
+def encode(bits: np.ndarray, precision: str = "medium") -> bytes:
+    """int64 IEEE-754 bit patterns -> lossy payload."""
+    mbits = PRECISIONS[precision]
+    shift = 52 - mbits
+    b = np.ascontiguousarray(bits, dtype=np.int64).view(np.uint64)
+    n = len(b)
+    special = _special_mask(b)
+    normal = b[~special]
+    if shift:
+        # round-to-nearest on the whole pattern: a mantissa carry
+        # propagates into the exponent like any IEEE ulp increment
+        normal = (normal + _U64(1 << (shift - 1))) & ~_U64((1 << shift) - 1)
+    sign = (normal >> _U64(63)).astype(np.int64)
+    exp = ((normal >> _U64(52)) & _EXP_MASK).astype(np.int64)
+    mant = ((normal & _MANT_MASK) >> _U64(shift)).astype(np.int64)
+    parts = [
+        bytes([_PRECISION_IDS[precision]]),
+        bitpack.pack(special.astype(np.int64), 1),
+        b[special].tobytes(),
+        bitpack.pack(sign, 1),
+        bitpack.pack(exp, 11),
+        bitpack.pack(mant, mbits) if mbits else b"",
+    ]
+    return b"".join(parts)
+
+
+def decode(buf: bytes | memoryview, count: int) -> np.ndarray:
+    """Lossy payload -> int64 bit patterns of the reconstructed doubles."""
+    mv = memoryview(buf)
+    precision = _ID_PRECISIONS[mv[0]]
+    mbits = PRECISIONS[precision]
+    shift = 52 - mbits
+    pos = 1
+    if count == 0:
+        return np.empty(0, dtype=np.int64)
+    sb = bitpack.packed_size(count, 1)
+    special = bitpack.unpack(np.frombuffer(mv[pos:pos + sb], dtype=np.uint8), 1, count).astype(bool)
+    pos += sb
+    n_special = int(special.sum())
+    specials = np.frombuffer(mv[pos:pos + 8 * n_special], dtype=np.uint64)
+    pos += 8 * n_special
+    n_norm = count - n_special
+    sign = bitpack.unpack(np.frombuffer(mv[pos:pos + bitpack.packed_size(n_norm, 1)], dtype=np.uint8), 1, n_norm)
+    pos += bitpack.packed_size(n_norm, 1)
+    exp = bitpack.unpack(np.frombuffer(mv[pos:pos + bitpack.packed_size(n_norm, 11)], dtype=np.uint8), 11, n_norm)
+    pos += bitpack.packed_size(n_norm, 11)
+    if mbits:
+        mant = bitpack.unpack(np.frombuffer(mv[pos:pos + bitpack.packed_size(n_norm, mbits)], dtype=np.uint8), mbits, n_norm)
+    else:
+        mant = np.zeros(n_norm, dtype=np.int64)
+    normal = ((sign.view(np.uint64) << _U64(63))
+              | (exp.view(np.uint64) << _U64(52))
+              | (mant.view(np.uint64) << _U64(shift)))
+    out = np.empty(count, dtype=np.uint64)
+    out[special] = specials
+    out[~special] = normal
+    return out.view(np.int64)
+
+
+def encoded_size(bits: np.ndarray, precision: str = "medium") -> int:
+    mbits = PRECISIONS[precision]
+    n = len(bits)
+    b = np.ascontiguousarray(bits, dtype=np.int64).view(np.uint64)
+    n_special = int(_special_mask(b).sum())
+    n_norm = n - n_special
+    return (1 + bitpack.packed_size(n, 1) + 8 * n_special
+            + bitpack.packed_size(n_norm, 1) + bitpack.packed_size(n_norm, 11)
+            + (bitpack.packed_size(n_norm, mbits) if mbits else 0))
+
+
+def encode_block(bits: np.ndarray, precision: str = "medium") -> bytes:
+    """Self-describing block (codec id F64_LOSSY)."""
+    return blocks.pack_block(blocks.F64_LOSSY, len(bits), encode(bits, precision))
+
+
+def encode_block_auto(bits: np.ndarray, max_rel_error: float) -> bytes:
+    """EncodeAuto analog: pick the cheapest precision whose max relative
+    error stays under ``max_rel_error``."""
+    return encode_block(bits, select_precision(max_rel_error))

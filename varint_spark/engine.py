@@ -91,6 +91,9 @@ class EncodeOptions:
     salt_span: int = DEFAULT_SALT_SPAN  # turns per salt group for hot convs
     order_col: str = "turn_idx"
     group_col: str = "conv_id"
+    # explicit opt-in lossy float mode ('high'|'medium'|'low'; None =
+    # lossless); applies to every f64 column in the table
+    f64_precision: str | None = None
 
 
 INT_KINDS = ("int32", "int64", "ts", "tsntz", "f64")
@@ -138,7 +141,8 @@ def _encode_chunk_rows(columns: dict[str, pa.Array], n: int, part_key: str,
                        chunk_id: int, kinds: dict[str, str],
                        shared_cols: dict | None = None,
                        segments: np.ndarray | None = None,
-                       fsst_cache: dict | None = None) -> list[dict]:
+                       fsst_cache: dict | None = None,
+                       f64_precision: str | None = None) -> list[dict]:
     rows = []
     for col, kind in kinds.items():
         arr = columns[col]
@@ -152,7 +156,8 @@ def _encode_chunk_rows(columns: dict[str, pa.Array], n: int, part_key: str,
             if len(dv) and kind != "f64":  # zone-map stats (chunk pruning)
                 mn, mx = int(dv.min()), int(dv.max())
             block = encode_column(arr, "f64" if kind == "f64" else "int",
-                                  segments=segments)
+                                  segments=segments,
+                                  f64_precision=f64_precision if kind == "f64" else None)
         else:
             lens = pa.compute.binary_length(arr)
             raw_bytes = int(pa.compute.sum(lens).as_py() or 0) + 4 * n  # data + 4B offsets
@@ -196,7 +201,7 @@ def _resolve_shared(shared, kinds: dict[str, str]) -> dict | None:
 
 
 def make_encode_udf(kinds: dict[str, str], chunk_rows: int, group_col: str,
-                    order_col: str, shared=None):
+                    order_col: str, shared=None, f64_precision: str | None = None):
     """Grouped-map Arrow UDF: one (bucket, salt) group of rows -> block
     rows. Arrow-native end to end — rows never materialize as Python
     objects (the applyInPandas equivalent spends most of its time building
@@ -216,7 +221,8 @@ def make_encode_udf(kinds: dict[str, str], chunk_rows: int, group_col: str,
             chunk_cols = {c: a.slice(start, m) for c, a in cols.items()}
             segments = _run_lengths(chunk_cols[group_col]) if group_col in chunk_cols else None
             out.extend(_encode_chunk_rows(chunk_cols, m, part_key, chunk_id, kinds,
-                                          shared_cols, segments, fsst_cache))
+                                          shared_cols, segments, fsst_cache,
+                                          f64_precision))
         return pa.Table.from_pylist(out, schema=_BLOCK_PA_SCHEMA)
 
     return encode_group
@@ -241,7 +247,8 @@ def encode_transcripts(df: DataFrame, opts: EncodeOptions = EncodeOptions(),
     ``shared``: optional Broadcast[SharedTables] (see varint_spark.shared)."""
     kinds = kinds or kinds_for_schema(df.schema)
     keyed = with_partition_keys(df, opts)
-    fn = make_encode_udf(kinds, opts.chunk_rows, opts.group_col, opts.order_col, shared)
+    fn = make_encode_udf(kinds, opts.chunk_rows, opts.group_col, opts.order_col,
+                         shared, opts.f64_precision)
     return keyed.groupBy("_bucket", "_salt").applyInArrow(fn, BLOCK_SCHEMA_DDL)
 
 

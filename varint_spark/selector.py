@@ -23,9 +23,9 @@ from dataclasses import dataclass
 import numpy as np
 import pyarrow as pa
 
-from .codecs import blocks, bitpack, delta, dict_codec, f64xor, foref, leb128, pfor, plain, rle, segdelta, strings, varint
+from .codecs import blocks, bitpack, delta, dict_codec, f64lossy, f64xor, foref, leb128, pfor, plain, rle, segdelta, strings, varint
 from .codecs.blocks import (
-    DELTA, DICT_INT, DICT_STR, DICT_STR_SHARED, F64_XOR, FOR, FSST_STR,
+    DELTA, DICT_INT, DICT_STR, DICT_STR_SHARED, F64_LOSSY, F64_XOR, FOR, FSST_STR,
     FSST_STR_SHARED, LEB128_ZZ, NULLABLE, PFOR, PLAIN_INT, PLAIN_STR, RLE_INT,
     SEG_DELTA, CODEC_NAMES,
 )
@@ -90,6 +90,7 @@ _INT_DECODERS = {
     DICT_INT: dict_codec.decode,
     F64_XOR: f64xor.decode,
     SEG_DELTA: segdelta.decode,
+    F64_LOSSY: f64lossy.decode,
 }
 
 
@@ -275,14 +276,25 @@ def _wrap_nullable(valid_mask: np.ndarray, inner: bytes) -> bytes:
 
 def encode_column(values: pa.Array, kind: str, shared_col=None,
                   segments: np.ndarray | None = None,
-                  fsst_cache: dict | None = None, cache_key: str = "") -> bytes:
+                  fsst_cache: dict | None = None, cache_key: str = "",
+                  f64_precision: str | None = None) -> bytes:
     """Arrow array (int64/large_utf8, possibly with nulls) -> block bytes.
 
     ``kind`` is 'int' or 'str'. Nulls are stripped into a validity bitmap
     (the reference's column_store example keeps a null bitmap beside each
-    column — examples/integration/column_store.c:66-71)."""
+    column — examples/integration/column_store.c:66-71).
+
+    ``f64_precision`` (explicit opt-in, kind='f64' only): encode lossily
+    with the given precision mode instead of the lossless cost gate
+    (reference varintFloatEncode modes, src/varintFloat.h:27-114)."""
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
+
+    def _enc_int(dense_np: np.ndarray, segs) -> bytes:
+        if kind == "f64" and f64_precision is not None:
+            return f64lossy.encode_block(dense_np, f64_precision)
+        return encode_int_block(dense_np, is_f64_bits=(kind == "f64"), segments=segs)
+
     if values.null_count:
         valid = ~np.asarray(values.is_null())
         dense = values.drop_null()
@@ -290,13 +302,11 @@ def encode_column(values: pa.Array, kind: str, shared_col=None,
             inner = encode_str_block(dense, shared_col, fsst_cache, cache_key)
         else:
             # segments don't survive null-stripping; drop them (rare path)
-            inner = encode_int_block(dense.to_numpy(zero_copy_only=False).astype(np.int64),
-                                     is_f64_bits=(kind == "f64"))
+            inner = _enc_int(dense.to_numpy(zero_copy_only=False).astype(np.int64), None)
         return _wrap_nullable(valid, inner)
     if kind == "str":
         return encode_str_block(values, shared_col, fsst_cache, cache_key)
-    return encode_int_block(values.to_numpy(zero_copy_only=False).astype(np.int64),
-                            is_f64_bits=(kind == "f64"), segments=segments)
+    return _enc_int(values.to_numpy(zero_copy_only=False).astype(np.int64), segments)
 
 
 def decode_column(buf: bytes | memoryview, shared_col=None) -> pa.Array:
