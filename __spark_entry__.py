@@ -99,6 +99,61 @@ def _q_float_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_random_access_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookups into encoded blocks WITHOUT full decode (reference
+    varintFORGetAt/varintPFORGetAt/varintRLEGetAt — SURVEY §2.A.5): encode
+    events ordered by the contiguous event_id with aligned salting
+    (salt_span a multiple of chunk_rows), then read positions {0, 10..14}
+    of every chunk via get_at/get_range. The alignment makes the
+    within-chunk position = event_id % chunk_rows, so plain SQL is an
+    exact oracle for which values the point reads must return."""
+    import pyarrow as _pa
+
+    from varint_spark.codecs import random_access as ra
+    from varint_spark.engine import EncodeOptions, encode_transcripts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.lit("all").alias("g"))
+    opts = EncodeOptions(num_buckets=4, chunk_rows=1024, salt_span=4096,
+                         group_col="g", order_col="event_id")
+    blocks = encode_transcripts(ev, opts).filter(F.col("column") == "event_id")
+
+    def lookup(iterator):
+        for tbl in iterator:
+            out = []
+            for blk, cnt in zip(tbl.column("block").to_pylist(),
+                                tbl.column("count").to_pylist()):
+                out.append(ra.get_at(blk, 0))
+                if cnt > 10:
+                    out.extend(ra.get_range(blk, 10, min(5, cnt - 10)).tolist())
+            yield _pa.RecordBatch.from_arrays([_pa.array(out, type=_pa.int64())],
+                                              names=["v"])
+
+    return blocks.select("block", "count").mapInArrow(lookup, "v long")
+
+
+def _q_random_access_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map chunk pruning surfaced as a query (reference header-only
+    metadata reads, varintBP128GetCount src/varintBP128.c:824): prune the
+    encoded chunks whose [min,max] ts zone can't intersect [mid, inf),
+    decode ONLY the surviving chunks' (event_id, ts) columns (column
+    pruning), then apply the exact filter."""
+    from varint_spark.engine import EncodeOptions, decode_blocks, encode_transcripts, prune_chunks
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    opts = EncodeOptions(num_buckets=16, chunk_rows=2048, salt_span=2**40,
+                         group_col="user_id", order_col="event_id")
+    blocks = encode_transcripts(ev, opts)
+    us = F.unix_micros(F.to_timestamp("ts"))
+    mn, mx = ev.agg(F.min(us), F.max(us)).first()
+    mid = (mn + mx) // 2
+    pruned = prune_chunks(blocks, "ts", lo=mid)
+    dec = decode_blocks(pruned, "event_id bigint, ts timestamp_ntz",
+                        columns=["event_id", "ts"])
+    return dec.filter(F.unix_micros(F.to_timestamp("ts")) >= mid).select(
+        "event_id", F.unix_micros(F.to_timestamp("ts")).alias("ts_us"))
+
+
 def _q_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -345,6 +400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_transcripts": _q_transcripts,
         "codec_pfor_outliers": _q_pfor,
         "codec_float_lossy": _q_float_lossy,
+        "random_access_point": _q_random_access_point,
+        "random_access_prune": _q_random_access_prune,
         "analyze_minmax_range": _q_minmax,
         "analyze_run_lengths": _q_runs,
         "analyze_cardinality": _q_cardinality,
@@ -495,6 +552,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "codec_float_lossy": (
             "SELECT event_id, TRUE AS within_bound FROM events"
+        ),
+        # chunk alignment (salt_span % chunk_rows == 0, contiguous ids from
+        # 0) makes within-chunk position = event_id % 1024 — see the query
+        "random_access_point": (
+            "SELECT event_id AS v FROM events"
+            " WHERE event_id % 1024 IN (0, 10, 11, 12, 13, 14)"
+        ),
+        "random_access_prune": (
+            "SELECT event_id, epoch_us(ts) AS ts_us FROM events"
+            " WHERE epoch_us(ts) >= (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2"
+            "                        FROM events)"
         ),
         "analyze_minmax_range": (
             "SELECT event_type, COUNT(*) AS cnt, MIN(user_id) AS min_uid,"

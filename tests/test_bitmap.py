@@ -71,3 +71,57 @@ def test_full_block_run():
     ids = np.arange(65536, dtype=np.uint64) + np.uint64(131072)  # one full block
     buf = _roundtrip(ids)
     assert len(buf) < 32  # a single (start, length) run + headers
+
+
+def test_contains_touches_only_one_block():
+    """Corrupting every OTHER block's payload must not affect membership
+    answers for the intact block — proof the lookup is container-local."""
+    import numpy as _np
+    from varint_spark.codecs.bitmap import _block_index, contains, encode
+
+    ids = np.concatenate([
+        np.arange(100, dtype=np.uint64),                    # block 0
+        np.uint64(5 << 16) + np.arange(0, 60000, 7, dtype=np.uint64),  # block 5 dense
+        np.uint64(9 << 16) + np.array([1, 2, 3], dtype=np.uint64),     # block 9 tiny
+    ])
+    data = encode(ids)
+    keys, entries = _block_index(data)
+    base_ptr = _np.frombuffer(data, dtype=_np.uint8).__array_interface__["data"][0]
+    buf = bytearray(data)
+    for k, (ctype, n, payload) in zip(keys, entries):
+        if int(k) == 5:
+            continue
+        start = (_np.frombuffer(payload, dtype=_np.uint8)
+                 .__array_interface__["data"][0] - base_ptr)
+        skip = 0
+        if ctype == 2:  # RUNS: keep the n_runs uvarint header intact
+            from varint_spark.codecs import blocks as blk
+            _, skip = blk.take_uvarint(payload, 0)
+        for i in range(start + skip, start + len(payload)):
+            buf[i] ^= 0xA5
+    corrupted = bytes(buf)
+    probe = 5 << 16
+    assert contains(corrupted, probe + 7)
+    assert not contains(corrupted, probe + 8)
+    assert not contains(corrupted, 12345 << 16)  # absent block key
+
+
+def test_blockwise_ops_match_setwise_and_copy_verbatim():
+    from varint_spark.codecs.bitmap import (
+        bitmap_and, bitmap_andnot, bitmap_or, bitmap_xor, decode, encode)
+
+    rng = np.random.default_rng(21)
+    a_ids = np.unique(rng.integers(0, 1 << 22, 40_000).astype(np.uint64))
+    b_ids = np.unique(rng.integers(1 << 21, 3 << 21, 30_000).astype(np.uint64))
+    a, b = encode(a_ids), encode(b_ids)
+    np.testing.assert_array_equal(decode(bitmap_and(a, b)),
+                                  np.intersect1d(a_ids, b_ids))
+    np.testing.assert_array_equal(decode(bitmap_or(a, b)), np.union1d(a_ids, b_ids))
+    np.testing.assert_array_equal(decode(bitmap_xor(a, b)), np.setxor1d(a_ids, b_ids))
+    np.testing.assert_array_equal(decode(bitmap_andnot(a, b)),
+                                  np.setdiff1d(a_ids, b_ids))
+    # disjoint key spaces: OR must reproduce both inputs' blocks verbatim
+    hi = encode(np.uint64(1 << 40) + np.arange(1000, dtype=np.uint64))
+    both = bitmap_or(a, hi)
+    np.testing.assert_array_equal(
+        decode(both), np.union1d(a_ids, (1 << 40) + np.arange(1000)))

@@ -12,8 +12,12 @@ members in whichever container is smallest:
 
 All construction is vectorized numpy over a sorted uint64 id array.
 Set algebra (AND/OR/XOR/ANDNOT — reference src/varintBitmap.c:442-528)
-operates on the sorted-array form via numpy set ops; ``contains`` is a
-binary search (``varintBitmapContains``).
+is CONTAINER-LEVEL on the serialized form: only blocks whose 64Ki keys
+collide are decoded; one-sided blocks are verbatim-copied (OR/XOR) or
+skipped (AND/ANDNOT) without touching their payload bytes. ``contains``
+binary-searches the block keys then tests inside one container
+(``varintBitmapContains``) — the rest of the bitmap's bytes are never
+read.
 
 Layout::
 
@@ -105,27 +109,139 @@ def decode(buf: memoryview | bytes) -> np.ndarray:
     return np.concatenate(parts)
 
 
+def _block_index(buf: memoryview | bytes):
+    """Walk the serialized form WITHOUT decoding payloads: returns
+    (keys uint64[], list of (ctype, n, payload memoryview)). Payload
+    lengths come from the per-block headers alone (ARRAY 2n, BITMAP 8 KiB,
+    RUNS n_runs uvarint + 4*n_runs), so indexing touches only headers —
+    the container-level-algebra backbone (reference operates per container
+    without materializing, src/varintBitmap.c:442-528)."""
+    mv = memoryview(buf)
+    n_blocks, pos = blocks.take_uvarint(mv, 0)
+    if n_blocks == 0:
+        return np.empty(0, dtype=np.uint64), []
+    key_bytes = np.frombuffer(mv[pos:], dtype=np.uint8)
+    term = (key_bytes & 0x80) == 0
+    key_end = int(np.flatnonzero(term)[n_blocks - 1]) + 1
+    keys = np.cumsum(leb128.decode(key_bytes[:key_end], n_blocks))
+    pos += key_end
+    entries = []
+    for _ in range(n_blocks):
+        ctype = mv[pos]
+        pos += 1
+        n, pos = blocks.take_uvarint(mv, pos)
+        if ctype == ARRAY:
+            plen = 2 * n
+        elif ctype == BITMAP:
+            plen = 8192
+        else:
+            n_runs, runs_pos = blocks.take_uvarint(mv, pos)
+            plen = (runs_pos - pos) + 4 * n_runs
+        entries.append((ctype, n, mv[pos : pos + plen]))
+        pos += plen
+    return keys, entries
+
+
+def _container_lows(ctype: int, n: int, payload: memoryview) -> np.ndarray:
+    """One container's sorted low-16 members (decodes only this block)."""
+    if ctype == ARRAY:
+        return np.frombuffer(payload, dtype="<u2").astype(np.uint16)
+    if ctype == BITMAP:
+        bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8), bitorder="little")
+        return np.flatnonzero(bits).astype(np.uint16)
+    n_runs, pos = blocks.take_uvarint(payload, 0)
+    runs = np.frombuffer(payload[pos : pos + 4 * n_runs], dtype="<u2").reshape(-1, 2)
+    starts = runs[:, 0].astype(np.int64)
+    lengths = runs[:, 1].astype(np.int64) + 1
+    seg0 = np.zeros(n_runs, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=seg0[1:])
+    offs = np.arange(int(lengths.sum()), dtype=np.int64)
+    return (np.repeat(starts, lengths) + (offs - np.repeat(seg0, lengths))).astype(np.uint16)
+
+
 def contains(buf: memoryview | bytes, value: int) -> bool:
-    """Membership test (decodes only for simplicity; the per-block binary
-    search optimization is noted as future work — SURVEY §2.A.5)."""
-    ids = decode(buf)
-    i = np.searchsorted(ids, np.uint64(value))
-    return bool(i < len(ids) and ids[i] == np.uint64(value))
+    """Membership test touching ONE block: binary-search the block keys,
+    then ARRAY -> searchsorted on the raw u2 view, BITMAP -> one bit test,
+    RUNS -> binary search of run starts (``varintBitmapContains``)."""
+    keys, entries = _block_index(buf)
+    high, low = value >> 16, value & 0xFFFF
+    i = int(np.searchsorted(keys, np.uint64(high)))
+    if i >= len(keys) or int(keys[i]) != high:
+        return False
+    ctype, n, payload = entries[i]
+    if ctype == ARRAY:
+        arr = np.frombuffer(payload, dtype="<u2")
+        j = int(np.searchsorted(arr, np.uint16(low)))
+        return j < len(arr) and int(arr[j]) == low
+    if ctype == BITMAP:
+        byte = payload[low >> 3]
+        return bool((byte >> (low & 7)) & 1)
+    n_runs, pos = blocks.take_uvarint(payload, 0)
+    runs = np.frombuffer(payload[pos : pos + 4 * n_runs], dtype="<u2").reshape(-1, 2)
+    j = int(np.searchsorted(runs[:, 0], np.uint16(low), side="right")) - 1
+    return j >= 0 and int(runs[j, 0]) + int(runs[j, 1]) >= low
+
+
+def _serialize_block(key_lows: list[tuple[int, np.ndarray | None, tuple | None]]) -> bytes:
+    """Assemble bitmap bytes from (key, lows | None, verbatim | None)
+    entries: ``verbatim`` = (ctype, n, payload) copied without re-encoding."""
+    keys = np.array([k for k, _, _ in key_lows], dtype=np.uint64)
+    out = [blocks.put_uvarint(len(keys)),
+           leb128.encode(np.diff(keys, prepend=np.uint64(0)))]
+    for _, lows, verb in key_lows:
+        if verb is not None:
+            ctype, n, payload = verb
+            out.append(bytes([ctype]) + blocks.put_uvarint(n) + bytes(payload))
+        else:
+            ctype, payload = _container_for(lows)
+            out.append(bytes([ctype]) + blocks.put_uvarint(len(lows)) + payload)
+    return b"".join(out)
+
+
+def _blockwise(a: bytes, b: bytes, op: str) -> bytes:
+    """Container-level set algebra: blocks present on one side only are
+    verbatim-copied (OR/XOR) or skipped (AND/ANDNOT) without decoding;
+    only blocks whose keys collide decode their two containers."""
+    ka, ea = _block_index(a)
+    kb, eb = _block_index(b)
+    ia = {int(k): e for k, e in zip(ka, ea)}
+    ib = {int(k): e for k, e in zip(kb, eb)}
+    out = []
+    for k in sorted(set(ia) | set(ib)):
+        in_a, in_b = k in ia, k in ib
+        if in_a and in_b:
+            la = _container_lows(*ia[k])
+            lb = _container_lows(*ib[k])
+            if op == "and":
+                lows = np.intersect1d(la, lb, assume_unique=True)
+            elif op == "or":
+                lows = np.union1d(la, lb)
+            elif op == "xor":
+                lows = np.setxor1d(la, lb, assume_unique=True)
+            else:
+                lows = np.setdiff1d(la, lb, assume_unique=True)
+            if len(lows):
+                out.append((k, lows.astype(np.uint16), None))
+        elif in_a and op in ("or", "xor", "andnot"):
+            out.append((k, None, ia[k]))       # verbatim copy, no decode
+        elif in_b and op in ("or", "xor"):
+            out.append((k, None, ib[k]))       # verbatim copy, no decode
+    return _serialize_block(out)
 
 
 # ---- set algebra (reference src/varintBitmap.c:442-528) ----------------------
 
 def bitmap_and(a: bytes, b: bytes) -> bytes:
-    return encode(np.intersect1d(decode(a), decode(b), assume_unique=True))
+    return _blockwise(a, b, "and")
 
 
 def bitmap_or(a: bytes, b: bytes) -> bytes:
-    return encode(np.union1d(decode(a), decode(b)))
+    return _blockwise(a, b, "or")
 
 
 def bitmap_xor(a: bytes, b: bytes) -> bytes:
-    return encode(np.setxor1d(decode(a), decode(b), assume_unique=True))
+    return _blockwise(a, b, "xor")
 
 
 def bitmap_andnot(a: bytes, b: bytes) -> bytes:
-    return encode(np.setdiff1d(decode(a), decode(b), assume_unique=True))
+    return _blockwise(a, b, "andnot")
