@@ -196,7 +196,7 @@ def test_f64_column_selection_and_roundtrip():
     # xor) — the gate must pick something that beats raw by >20%
     vals = np.cumsum(rng.normal(0, 0.001, size=5000)) + 50.0
     blk = selector.encode_column(pa.array(vals.view(np.int64)), "f64")
-    assert selector.codec_name_of(blk) in ("f64_xor", "for", "delta", "pfor")
+    assert selector.codec_name_of(blk) in ("f64_xor", "for", "delta", "pfor", "bp128_delta")
     assert len(blk) < 0.8 * vals.nbytes
     out = selector.decode_column(blk).to_numpy(zero_copy_only=False)
     np.testing.assert_array_equal(out.astype(np.int64), vals.view(np.int64))
@@ -278,3 +278,45 @@ def test_take_uvarint_ndarray_buffer_huge_value():
         for buf in (enc, memoryview(enc), np.frombuffer(enc, dtype=np.uint8)):
             got, pos = blocks.take_uvarint(buf, 0)
             assert got == x and pos == len(enc), (x, type(buf))
+
+
+def test_bp128_roundtrip_and_block_boundaries():
+    """128-value block codec (ref src/varintBP128.c:167-214): sizes
+    straddling block boundaries (ref test family src/varintBP128.c:1051)."""
+    from varint_spark.codecs import bp128
+    rng = np.random.default_rng(31)
+    for n in [1, 2, 127, 128, 129, 255, 256, 257, 1024, 1000, 12345]:
+        v = np.int64(1.7e15) + np.cumsum(rng.integers(0, 1000, n, dtype=np.int64))
+        buf = bp128.encode(v)
+        assert len(buf) == bp128.encoded_size(v), n
+        np.testing.assert_array_equal(bp128.decode(buf, n), v, str(n))
+    # negative deltas + extremes
+    v = np.array([0, -5, 10, np.iinfo(np.int64).min, np.iinfo(np.int64).max] * 60,
+                 dtype=np.int64)
+    buf = bp128.encode(v)
+    np.testing.assert_array_equal(bp128.decode(buf, len(v)), v)
+
+
+def test_bp128_beats_delta_on_bitpackable_deltas():
+    """Deltas needing ~10 bits: LEB128 pays 2 bytes each, BP128 packs
+    10 bits — the codec's reason to exist; the cost gate must pick it."""
+    from varint_spark.codecs import bp128, delta
+    from varint_spark.selector import codec_name_of, encode_int_block
+    rng = np.random.default_rng(32)
+    v = np.cumsum(rng.integers(200, 1000, 50_000, dtype=np.int64))
+    assert bp128.encoded_size(v) < 0.8 * delta.encoded_size(v)
+    blk = encode_int_block(v)
+    assert codec_name_of(blk) == "bp128_delta"
+
+
+def test_bp128_get_range_touches_only_covering_blocks():
+    from varint_spark.codecs import bp128
+    rng = np.random.default_rng(33)
+    v = np.cumsum(rng.integers(0, 500, 10_000, dtype=np.int64))
+    buf = bp128.encode(v)
+    spans = [(0, 1), (127, 2), (128, 128), (9999, 1), (5000, 300), (0, 10_000)]
+    spans += [(int(s), int(n)) for s, n in
+              zip(rng.integers(0, 9000, 15), rng.integers(1, 700, 15))]
+    for start, n in spans:
+        np.testing.assert_array_equal(bp128.get_range(buf, len(v), start, n),
+                                      v[start:start + n], (start, n))

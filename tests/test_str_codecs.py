@@ -78,7 +78,7 @@ def test_dict_ratio_roles():
 def test_selector_int_expectations():
     import fixtures as fx
     expect = {
-        "sorted_timestamps": {"delta"},
+        "sorted_timestamps": {"delta", "bp128_delta"},
         "high_repetition": {"dict_int"},
         "tight_cluster": {"for", "pfor"},
         "long_runs": {"rle_int"},

@@ -31,6 +31,7 @@ DICT_INT = 6    # sorted unique values + packed indices (ref src/varintDict.c)
 F64_XOR = 7     # Gorilla-style XOR-prev over float64 bits (ref src/varintFloat.c)
 SEG_DELTA = 8   # per-segment delta (prevValue threading, ref src/varintBP128.c:347-427)
 F64_LOSSY = 9   # lossy sign/exp/mantissa split, precision modes (ref src/varintFloat.h:27-114)
+BP128_DELTA = 10  # 128-value blocks, per-block width + first (ref src/varintBP128.c:167-214)
 # string codecs
 PLAIN_STR = 16  # lengths int-block + concatenated utf-8 bytes
 DICT_STR = 17   # codes int-block + dictionary PLAIN_STR block
@@ -51,6 +52,7 @@ CODEC_NAMES = {
     F64_XOR: "f64_xor",
     SEG_DELTA: "seg_delta",
     F64_LOSSY: "f64_lossy",
+    BP128_DELTA: "bp128_delta",
     PLAIN_STR: "plain_str",
     DICT_STR: "dict_str",
     FSST_STR: "fsst_str",
@@ -61,7 +63,7 @@ CODEC_NAMES = {
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
 INT_CODECS = (PLAIN_INT, LEB128_ZZ, DELTA, FOR, PFOR, RLE_INT, DICT_INT, F64_XOR,
-              SEG_DELTA, F64_LOSSY)
+              SEG_DELTA, F64_LOSSY, BP128_DELTA)
 STR_CODECS = (PLAIN_STR, DICT_STR, FSST_STR, DICT_STR_SHARED, FSST_STR_SHARED)
 
 

@@ -21,7 +21,8 @@ from __future__ import annotations
 import numpy as np
 
 from . import bitpack, blocks, delta, leb128, zigzag
-from .blocks import DELTA, DICT_INT, FOR, LEB128_ZZ, PFOR, PLAIN_INT, RLE_INT, SEG_DELTA
+from .blocks import (BP128_DELTA, DELTA, DICT_INT, FOR, LEB128_ZZ, PFOR,
+                     PLAIN_INT, RLE_INT, SEG_DELTA)
 
 
 def _unpack_range(buf: np.ndarray, width: int, start: int, n: int) -> np.ndarray:
@@ -174,8 +175,12 @@ def get_at(block: bytes | memoryview, idx: int) -> int:
         width = int(rest[dict_end])
         code = int(_unpack_range(rest[dict_end + 1 :], width, idx, 1)[0]) if width else 0
         return int(uniq[code])
+    if cid == BP128_DELTA:
+        # O(1) per 128-value block (ref src/varintBP128.h:24)
+        from . import bp128
+        return int(bp128.get_range(payload, count, idx, 1)[0])
     if cid in (DELTA, SEG_DELTA, LEB128_ZZ):
-        # prefix-sum codecs are inherently sequential: full decode
+        # whole-chunk prefix-sum codecs are inherently sequential: full decode
         from ..selector import decode_int_block
         return int(decode_int_block(block)[idx])
     raise ValueError(f"get_at: unsupported codec {cid}")
@@ -198,5 +203,8 @@ def get_range(block: bytes | memoryview, start: int, n: int) -> np.ndarray:
         return rle_get_range(payload, count, start, n)
     if cid == DICT_INT:
         return dict_get_range(payload, count, start, n)
+    if cid == BP128_DELTA:
+        from . import bp128
+        return bp128.get_range(payload, count, start, n)
     from ..selector import decode_int_block
     return decode_int_block(block)[start : start + n]

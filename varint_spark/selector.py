@@ -23,9 +23,9 @@ from dataclasses import dataclass
 import numpy as np
 import pyarrow as pa
 
-from .codecs import blocks, bitpack, delta, dict_codec, f64lossy, f64xor, foref, leb128, pfor, plain, rle, segdelta, strings, varint
+from .codecs import blocks, bitpack, bp128, delta, dict_codec, f64lossy, f64xor, foref, leb128, pfor, plain, rle, segdelta, strings, varint
 from .codecs.blocks import (
-    DELTA, DICT_INT, DICT_STR, DICT_STR_SHARED, F64_LOSSY, F64_XOR, FOR, FSST_STR,
+    BP128_DELTA, DELTA, DICT_INT, DICT_STR, DICT_STR_SHARED, F64_LOSSY, F64_XOR, FOR, FSST_STR,
     FSST_STR_SHARED, LEB128_ZZ, NULLABLE, PFOR, PLAIN_INT, PLAIN_STR, RLE_INT,
     SEG_DELTA, CODEC_NAMES,
 )
@@ -79,6 +79,7 @@ _INT_ENCODERS = {
     RLE_INT: rle.encode,
     DICT_INT: dict_codec.encode,
     F64_XOR: f64xor.encode,
+    BP128_DELTA: bp128.encode,
 }
 _INT_DECODERS = {
     PLAIN_INT: plain.decode_int,
@@ -91,6 +92,7 @@ _INT_DECODERS = {
     F64_XOR: f64xor.decode,
     SEG_DELTA: segdelta.decode,
     F64_LOSSY: f64lossy.decode,
+    BP128_DELTA: bp128.decode,
 }
 
 
@@ -105,6 +107,8 @@ def candidate_int_codecs(s: IntStats) -> list[int]:
         cands.append(DICT_INT)
     if s.is_sorted or (s.count > 1 and s.avg_delta < max(abs(s.min), 1) / 10):
         cands.append(DELTA)
+        cands.append(BP128_DELTA)  # block-granular twin: wins when deltas
+        #                            bit-pack below their LEB128 byte cost
     if s.outlier_ratio > 0.005:
         cands.append(PFOR)
     cands.append(FOR)
@@ -119,6 +123,7 @@ _INT_SIZERS = {
     RLE_INT: rle.encoded_size,
     DICT_INT: dict_codec.encoded_size,
     F64_XOR: f64xor.encoded_size,
+    BP128_DELTA: bp128.encoded_size,
 }
 
 
