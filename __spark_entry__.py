@@ -6,18 +6,24 @@
   encode → decode through the full Spark pipeline, returning the original
   rows. The DuckDB oracle is the identity SELECT, so the value-hash match
   proves bit-identical decode on real parquet data.
-* ``codec_pfor_outliers`` — a SQL-expressible outlier column exercising the
-  patched-FOR path end-to-end.
+* ``codec_pfor_outliers`` / ``codec_float_lossy`` — SQL-expressible codec
+  paths end-to-end (patched-FOR; lossy float within its error bound).
+* ``random_access_point`` / ``random_access_prune`` — partial-decode
+  surface: chunk-aligned point reads and zone-map pruning, both with
+  exact SQL oracles by construction.
 * ``analyze_*`` — the reference's analysis surface (varintFORAnalyze,
   varintRLEAnalyze, varintDictGetStats, varintAdaptiveAnalyze — SURVEY
   §2.A.4) re-expressed as Spark-native relational queries with SQL oracles.
 * ``encode_stats_transcripts`` / ``compression_by_column`` — codec-choice +
   compression-ratio lineage (rows-only check; codec choice is not
-  SQL-expressible).
+  SQL-expressible — the only two queries without oracles).
 * ``dedup_*`` / ``simhash_*`` / ``text_*`` / ``similarity_*`` /
   ``fingerprint_*`` / ``multimodal_*`` — the training-data pipeline
-  operators (varint_spark.pipeline); exact dedup, token stats and cosine
-  top-k have SQL oracles, hash-based ops are rows-only.
+  operators (varint_spark.pipeline), ALL with value-level oracles: the
+  hash-based ones run portable SQL-reproducible hash modes
+  (simhash/fingerprints), oracle-by-construction configs (IVF
+  nprobe=k_lists; all-pairs verification for minhash/near-dup), or
+  baked-constant hyperplanes (LSH top-k).
 * ``q1_pricing_summary`` / ``set_ops_bitmap_analog`` / ``topk_per_group``
   — the relational surface (SURVEY §2.B) incl. the reference's bitmap
   set-algebra semantics, all with SQL oracles.
@@ -715,9 +721,7 @@ def oracle_sql() -> dict[str, str]:
             "    PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rk"
             "  FROM orders) WHERE rk <= 3"
         ),
-        # rows-only (engine-internal hashing / codec internals, not SQL-
-        # expressible): encode_stats_transcripts, compression_by_column,
-        # dedup_minhash_jaccard, simhash_documents, text_quality_score,
-        # text_lang_id, similarity_topk_lsh, fingerprint_documents,
-        # multimodal_features
+        # rows-only (codec-choice lineage is not SQL-expressible):
+        # encode_stats_transcripts, compression_by_column — their decode
+        # side is covered by the oracled roundtrip_* queries
     }

@@ -190,9 +190,32 @@ thread, so single-node aggregate = per-core x cores.
 |---|---|---|---|
 """
         for name, r in kern.items():
+            if "encode_MBps" not in r:
+                continue  # non-codec entries (e.g. shingle-hash kernels)
             md += f"| {name} | {r['encode_MBps']} | {r['decode_MBps']} | {r['ratio']} |\n"
+        shingle = {k: v for k, v in kern.items() if "plane_kernel_MBps" in v}
+        if shingle:
+            md += ("\nText-pipeline plane kernels (corpus-plane rolling hash"
+                   " vs the per-document loop it replaced):\n\n"
+                   "| corpus shape | legacy loop MB/s | plane kernel MB/s | speedup |\n"
+                   "|---|---|---|---|\n")
+            for name, r in shingle.items():
+                md += (f"| {name} | {r['legacy_loop_MBps']} |"
+                       f" {r['plane_kernel_MBps']} | {r['speedup']}x |\n")
     (REPO / "BENCH").mkdir(exist_ok=True)
-    (REPO / "BENCH" / "BASELINE.md").write_text(md)
+    # mechanical output goes to scaling_run.md + an append-only run log;
+    # BENCH/BASELINE.md is the hand-curated summary (best-of-N with full
+    # variance disclosure — see CLAUDE.md on this VM's noise)
+    (REPO / "BENCH" / "scaling_run.md").write_text(md)
+    with open(REPO / "BENCH" / "runs.log", "a") as fh:
+        fh.write(json.dumps({
+            "pair": [n_low, n_high],
+            "n_turns": results[n_high]["n_turns"],
+            "turns_per_sec": {n_low: r8, n_high: r32},
+            "encode_wall": {n_low: results[n_low]["queries"]["encode_transcripts"],
+                            n_high: results[n_high]["queries"]["encode_transcripts"]},
+            "efficiency": round(eff, 3),
+        }) + "\n")
     print(md)
 
 
