@@ -133,3 +133,17 @@ def test_engine_lossy_roundtrip_within_bound(spark):
     rel = np.abs(got - vals) / np.abs(vals)
     assert float(rel.max()) <= 2.0 ** -10
     assert (out.id.to_numpy() == np.arange(4000)).all()
+
+
+def test_exponent_mode_subsumption_ratios():
+    """Same-magnitude (COMMON_EXPONENT) and drifting (DELTA_EXPONENT) data:
+    the nested adaptive sign/exponent blocks collapse to ~0 bits, pushing
+    MEDIUM past the reference's claimed 1.5-4.0x band."""
+    rng = np.random.default_rng(5)
+    sensor = 25.0 + rng.normal(0, 0.05, 10_000)
+    drift = np.cumsum(rng.normal(1, 0.1, 10_000))
+    for v in (sensor, drift):
+        enc = f64lossy.encode(v.view(np.int64), "medium")
+        assert v.nbytes / len(enc) >= 5.0
+        out = f64lossy.decode(enc, len(v)).view(np.float64)
+        assert float((np.abs(out - v) / np.abs(v)).max()) <= 2.0 ** -10

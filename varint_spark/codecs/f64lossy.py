@@ -9,18 +9,25 @@ thresholds src/varintFloat.c:568-596). Tests mirror
 reference src/varintFloatTest.c round-trip-within-bound suites.
 
 Differences (documented, deliberate): the exponent always keeps its full
-11 bits (the reference narrows to 8/5 bits in HIGH..LOW modes, clipping
-range); rounding is applied to the whole bit pattern so a mantissa carry
-propagates into the exponent exactly as IEEE ulp arithmetic does.
+value range (the reference narrows to 8/5 exponent bits in HIGH..LOW
+modes, clipping range); rounding is applied to the whole bit pattern so a
+mantissa carry propagates into the exponent exactly as IEEE ulp
+arithmetic does. The reference's INDEPENDENT / COMMON_EXPONENT /
+DELTA_EXPONENT encoding modes (src/varintFloat.h:96-114) are SUBSUMED
+rather than ported: signs and exponents are nested self-describing int
+blocks run through the adaptive selector, so constant-magnitude data gets
+RLE (≈0 bits — the COMMON_EXPONENT case), drifting sensor series get
+delta/FOR (the DELTA_EXPONENT case), and adversarial data falls back to
+bit-packing — chosen by exact cost, not by a caller-supplied mode flag.
 
 Payload layout (after the standard [codec_id][count] block header)::
 
     [precision: 1]
     [special bitmap: packbits(count)]      NaN/Inf/zero/subnormal positions
     [special bit patterns: 8B LE each]     stored exact (lossless)
-    [signs:      packbits(n_normal, 1)]
-    [exponents:  packbits(n_normal, 11)]
-    [mantissas:  packbits(n_normal, mbits)]
+    [signs:      sub-block(adaptive int)]  n_normal 0/1 values
+    [exponents:  sub-block(adaptive int)]  n_normal biased exponents
+    [mantissas:  packbits(n_normal, mbits)] (random bits: fixed stride)
 
 Operates on int64 *bit patterns* (the engine's f64 convention).
 This codec never enters the automatic cost gate: lossless stays the
@@ -77,6 +84,8 @@ def encode(bits: np.ndarray, precision: str = "medium") -> bytes:
         # round-to-nearest on the whole pattern: a mantissa carry
         # propagates into the exponent like any IEEE ulp increment
         normal = (normal + _U64(1 << (shift - 1))) & ~_U64((1 << shift) - 1)
+    from ..selector import encode_int_block  # lazy: selector imports us
+
     sign = (normal >> _U64(63)).astype(np.int64)
     exp = ((normal >> _U64(52)) & _EXP_MASK).astype(np.int64)
     mant = ((normal & _MANT_MASK) >> _U64(shift)).astype(np.int64)
@@ -84,8 +93,8 @@ def encode(bits: np.ndarray, precision: str = "medium") -> bytes:
         bytes([_PRECISION_IDS[precision]]),
         bitpack.pack(special.astype(np.int64), 1),
         b[special].tobytes(),
-        bitpack.pack(sign, 1),
-        bitpack.pack(exp, 11),
+        blocks.put_sub(encode_int_block(sign)),
+        blocks.put_sub(encode_int_block(exp)),
         bitpack.pack(mant, mbits) if mbits else b"",
     ]
     return b"".join(parts)
@@ -106,11 +115,13 @@ def decode(buf: bytes | memoryview, count: int) -> np.ndarray:
     n_special = int(special.sum())
     specials = np.frombuffer(mv[pos:pos + 8 * n_special], dtype=np.uint64)
     pos += 8 * n_special
+    from ..selector import decode_int_block  # lazy: selector imports us
+
     n_norm = count - n_special
-    sign = bitpack.unpack(np.frombuffer(mv[pos:pos + bitpack.packed_size(n_norm, 1)], dtype=np.uint8), 1, n_norm)
-    pos += bitpack.packed_size(n_norm, 1)
-    exp = bitpack.unpack(np.frombuffer(mv[pos:pos + bitpack.packed_size(n_norm, 11)], dtype=np.uint8), 11, n_norm)
-    pos += bitpack.packed_size(n_norm, 11)
+    sign_sub, pos = blocks.take_sub(mv, pos)
+    sign = decode_int_block(sign_sub)
+    exp_sub, pos = blocks.take_sub(mv, pos)
+    exp = decode_int_block(exp_sub)
     if mbits:
         mant = bitpack.unpack(np.frombuffer(mv[pos:pos + bitpack.packed_size(n_norm, mbits)], dtype=np.uint8), mbits, n_norm)
     else:
@@ -125,14 +136,9 @@ def decode(buf: bytes | memoryview, count: int) -> np.ndarray:
 
 
 def encoded_size(bits: np.ndarray, precision: str = "medium") -> int:
-    mbits = PRECISIONS[precision]
-    n = len(bits)
-    b = np.ascontiguousarray(bits, dtype=np.int64).view(np.uint64)
-    n_special = int(_special_mask(b).sum())
-    n_norm = n - n_special
-    return (1 + bitpack.packed_size(n, 1) + 8 * n_special
-            + bitpack.packed_size(n_norm, 1) + bitpack.packed_size(n_norm, 11)
-            + (bitpack.packed_size(n_norm, mbits) if mbits else 0))
+    """Exact (the nested sign/exponent blocks are built to be sized, like
+    segdelta — this codec never enters the analytic cost-gate sweep)."""
+    return len(encode(bits, precision))
 
 
 def encode_block(bits: np.ndarray, precision: str = "medium") -> bytes:
