@@ -360,6 +360,37 @@ def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bitmap_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTUAL Roaring-style bitmap codec through the gate (reference
+    varintBitmapAnd/Or/AndNot src/varintBitmap.c:442-528): distinct user-id
+    sets per event type are bitmap-encoded, the container-level set algebra
+    runs on the SERIALIZED bytes, and the decoded cardinalities must match
+    plain SQL set operations. The two id sets are bounded (distinct users),
+    so the driver-side encode is a bounded collect — the codec itself is a
+    per-partition index structure at scale (posting lists per shard)."""
+    import numpy as np
+
+    from varint_spark.codecs import bitmap
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = np.array(sorted(
+        r.user_id for r in
+        ev.filter(F.col("event_type") == "click").select("user_id").distinct().collect()),
+        dtype=np.uint64)
+    buys = np.array(sorted(
+        r.user_id for r in
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct().collect()),
+        dtype=np.uint64)
+    a, b = bitmap.encode(clicks), bitmap.encode(buys)
+    rows = [
+        ("and", int(len(bitmap.decode(bitmap.bitmap_and(a, b))))),
+        ("or", int(len(bitmap.decode(bitmap.bitmap_or(a, b))))),
+        ("andnot", int(len(bitmap.decode(bitmap.bitmap_andnot(a, b))))),
+        ("xor", int(len(bitmap.decode(bitmap.bitmap_xor(a, b))))),
+    ]
+    return spark.createDataFrame(rows, "op string, n long")
+
+
 def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by price per priority — window top-k (§2.B sorts/limits)."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -428,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal,
         "q1_pricing_summary": _q_pricing_summary,
         "set_ops_bitmap_analog": _q_set_ops,
+        "bitmap_codec_algebra": _q_bitmap_codec,
         "topk_per_group": _q_topk_per_group,
     }
 
@@ -714,6 +746,16 @@ def oracle_sql() -> dict[str, str]:
             " SELECT 'and' AS op, (SELECT COUNT(*) FROM (SELECT * FROM c INTERSECT SELECT * FROM b)) AS n"
             " UNION ALL SELECT 'or', (SELECT COUNT(*) FROM (SELECT * FROM c UNION SELECT * FROM b))"
             " UNION ALL SELECT 'andnot', (SELECT COUNT(*) FROM (SELECT * FROM c EXCEPT SELECT * FROM b))"
+        ),
+        "bitmap_codec_algebra": (
+            "WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type='click'),"
+            " b AS (SELECT DISTINCT user_id FROM events WHERE event_type='purchase')"
+            " SELECT 'and' AS op, CAST((SELECT COUNT(*) FROM (SELECT * FROM c INTERSECT SELECT * FROM b)) AS BIGINT) AS n"
+            " UNION ALL SELECT 'or', (SELECT COUNT(*) FROM (SELECT * FROM c UNION SELECT * FROM b))"
+            " UNION ALL SELECT 'andnot', (SELECT COUNT(*) FROM (SELECT * FROM c EXCEPT SELECT * FROM b))"
+            " UNION ALL SELECT 'xor', (SELECT COUNT(*) FROM ("
+            "   SELECT * FROM (SELECT * FROM c UNION SELECT * FROM b)"
+            "   EXCEPT SELECT * FROM (SELECT * FROM c INTERSECT SELECT * FROM b)))"
         ),
         "topk_per_group": (
             "SELECT o_orderpriority, CAST(rk AS INT) AS rk, o_orderkey FROM ("
