@@ -362,26 +362,21 @@ def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_bitmap_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ACTUAL Roaring-style bitmap codec through the gate (reference
-    varintBitmapAnd/Or/AndNot src/varintBitmap.c:442-528): distinct user-id
-    sets per event type are bitmap-encoded, the container-level set algebra
-    runs on the SERIALIZED bytes, and the decoded cardinalities must match
-    plain SQL set operations. The two id sets are bounded (distinct users),
-    so the driver-side encode is a bounded collect — the codec itself is a
-    per-partition index structure at scale (posting lists per shard)."""
-    import numpy as np
-
+    varintBitmapAnd/Or/AndNot src/varintBitmap.c:442-528): user-id bitmaps
+    per event type are built FULLY DISTRIBUTED (per-partition partial
+    encode + container-level bitmap_or merge — varint_spark.bitmap_index),
+    the set algebra runs on the SERIALIZED bytes, and the decoded
+    cardinalities must match plain SQL set operations. The driver never
+    collects an id set — only the two final serialized bitmaps (bounded by
+    key cardinality, not id cardinality; scale-safe at billions of ids)."""
+    from varint_spark.bitmap_index import build_bitmaps
     from varint_spark.codecs import bitmap
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    clicks = np.array(sorted(
-        r.user_id for r in
-        ev.filter(F.col("event_type") == "click").select("user_id").distinct().collect()),
-        dtype=np.uint64)
-    buys = np.array(sorted(
-        r.user_id for r in
-        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct().collect()),
-        dtype=np.uint64)
-    a, b = bitmap.encode(clicks), bitmap.encode(buys)
+    both = ev.filter(F.col("event_type").isin("click", "purchase"))
+    built = {r[0]: bytes(r[1])
+             for r in build_bitmaps(both, "event_type", "user_id").collect()}
+    a, b = built["click"], built["purchase"]
     rows = [
         ("and", int(len(bitmap.decode(bitmap.bitmap_and(a, b))))),
         ("or", int(len(bitmap.decode(bitmap.bitmap_or(a, b))))),
@@ -410,8 +405,10 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order is partition-order-dependent) — oracle reproduces it exactly
     dups = embs.filter(F.col("vec_id") < 20).withColumn(
         "vec_id", F.col("vec_id") + 1_000_000)
+    # dim passed explicitly: skips the fallback df.first() probe job
     return similarity.embedding_near_dup_pairs(embs.union(dups), "vec_id",
-                                               "embedding", threshold=0.999, bits=6)
+                                               "embedding", threshold=0.999,
+                                               bits=6, dim=64)
 
 
 def _q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

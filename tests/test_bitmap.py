@@ -125,3 +125,33 @@ def test_blockwise_ops_match_setwise_and_copy_verbatim():
     both = bitmap_or(a, hi)
     np.testing.assert_array_equal(
         decode(both), np.union1d(a_ids, (1 << 40) + np.arange(1000)))
+
+
+def test_distributed_build_matches_local_encode(spark):
+    """build_bitmaps: per-partition partial encode + bitmap_or merge must
+    produce byte-identical bitmaps to a single local encode, at any
+    parallelism (the determinism invariant extends to the index build)."""
+    import pyspark.sql.functions as F
+
+    from varint_spark.bitmap_index import build_bitmaps
+    from varint_spark.codecs.bitmap import decode, encode
+
+    rng = np.random.default_rng(7)
+    keys = np.array(["click", "purchase", "view"])[rng.integers(0, 3, 5000)]
+    ids = rng.integers(0, 1 << 20, 5000)
+    df = spark.createDataFrame(
+        [(str(k), int(i)) for k, i in zip(keys, ids)], "k string, user_id long")
+
+    expected = {
+        k: encode(np.unique(ids[keys == k]).astype(np.uint64))
+        for k in ("click", "purchase", "view")
+    }
+    for parts in (2, 7):
+        built = {r.k: bytes(r.bitmap)
+                 for r in build_bitmaps(df.repartition(parts), "k", "user_id",
+                                        num_partitions=parts).collect()}
+        assert set(built) == set(expected)
+        for k in expected:
+            assert built[k] == expected[k], (parts, k)
+            np.testing.assert_array_equal(
+                decode(built[k]), np.unique(ids[keys == k]).astype(np.uint64))

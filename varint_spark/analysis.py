@@ -9,7 +9,7 @@ The plan here is the distributed textbook shape:
 
 1. ``repartitionByRange`` + ``sortWithinPartitions`` on the order columns
    (one shuffle; ranges guarantee partition p's keys all precede p+1's).
-2. One ``mapInArrow`` pass per partition: vectorized numpy run-break count,
+2. One ``mapInArrow`` pass per partition: Arrow-kernel run-break count,
    threading the previous value across Arrow batches; emits ONE summary
    row per partition (first key, first/last value, local rows/runs).
 3. A final merge over the tiny per-partition summary (one row per
@@ -20,47 +20,62 @@ The plan here is the distributed textbook shape:
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 
+def _neq_null_safe(a, b):
+    """Element-wise run-break predicate: True iff exactly one side is null,
+    or both are non-null and differ (null==null is NOT a break). Stays in
+    Arrow compute — no per-row Python, no object-dtype round trip."""
+    an, bn = pc.is_null(a), pc.is_null(b)
+    either = pc.or_(an, bn)
+    return pc.if_else(either, pc.xor(an, bn), pc.not_equal(a, b))
+
+
 def make_partition_runs_udf(order_cols: list[str], value_col: str):
-    """mapInArrow fn: one summary row per (non-empty) input partition."""
+    """mapInArrow fn: one summary row per (non-empty) input partition.
+    All comparisons are Arrow-kernel vectorized (pc.not_equal) — for string
+    columns this is a SIMD memcmp sweep, not a per-row Python compare."""
 
     def fn(iterator):
         n_rows = 0
         n_runs = 0
-        prev = None
+        prev = None  # 1-element Arrow slice: last value of the previous batch
         first_key = None  # 1-element Arrow slices: keeps the input types exact
         first_val = None
-        val_type = None
         started = False
         for batch in iterator:
-            vals = batch.column(value_col).to_pandas().to_numpy(dtype=object)
-            if len(vals) == 0:
+            col = batch.column(value_col)
+            n = len(col)
+            if n == 0:
                 continue
-            breaks = int((vals[1:] != vals[:-1]).sum())
+            if n > 1:
+                diffs = _neq_null_safe(col.slice(1), col.slice(0, n - 1))
+                breaks = int(pc.sum(diffs).as_py() or 0)
+            else:
+                breaks = 0
+            head = col.slice(0, 1)
             if not started:
                 first_key = [batch.column(c).slice(0, 1) for c in order_cols]
-                first_val = vals[0]
-                val_type = batch.column(value_col).type
+                first_val = head
                 started = True
                 breaks += 1  # the partition's first value opens a run
-            elif vals[0] != prev:
+            elif bool(_neq_null_safe(head, prev)[0].as_py()):
                 breaks += 1
             n_runs += breaks
-            n_rows += len(vals)
-            prev = vals[-1]
+            n_rows += n
+            prev = col.slice(n - 1, 1)
         if started:
             yield pa.RecordBatch.from_arrays(
                 list(first_key)
                 + [
                     pa.array([n_rows], type=pa.int64()),
                     pa.array([n_runs], type=pa.int64()),
-                    pa.array([first_val], type=val_type),
-                    pa.array([prev], type=val_type),
+                    first_val,
+                    prev,
                 ],
                 names=[f"_k{i}" for i in range(len(order_cols))]
                 + ["n_rows", "n_runs", "first_val", "last_val"],

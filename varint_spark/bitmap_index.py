@@ -1,0 +1,90 @@
+"""Distributed bitmap-index build — the Roaring-style codec's set algebra
+running where the data lives (reference varintBitmapOr merge semantics,
+src/varintBitmap.c:442-528, applied as a distributed combine).
+
+The scale problem: at 100 TB the distinct ids behind one bitmap are
+billions — a driver-side ``collect()`` of the id set (the round-2 demo
+shape) cannot work. The scale-correct plan here:
+
+1. one hash repartition on ``(key, id)`` spreads each key's ids across
+   all partitions (no hot-key skew: the id participates in the hash);
+2. ``mapInArrow`` encodes a PARTIAL bitmap per (partition, key) —
+   ``np.unique`` + ``bitmap.encode`` on the partition's ids, all numpy;
+3. a grouped ``applyInArrow`` per key folds the partials with the
+   container-level ``bitmap_or`` — associative and canonical (container
+   choice is a pure function of block content), so fold order is
+   irrelevant and the merged bytes are deterministic at any parallelism;
+4. the driver only ever sees ONE serialized bitmap per key (bounded by
+   key cardinality, never by id cardinality).
+
+Partial count per key == shuffle partitions (hundreds on a real cluster),
+each partial ≤ the full bitmap's size — the merge group is tiny by
+construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pyspark.sql import DataFrame
+
+from .codecs import bitmap
+
+
+def _encode_partials(key_col: str, id_col: str):
+    """mapInArrow fn: one (key, partial-bitmap) row per key in this
+    partition. Ids are grouped via Arrow dictionary indices — the only
+    Python loop is over DISTINCT keys in the partition (tiny), never rows."""
+
+    def fn(iterator):
+        acc: dict = {}  # key -> list[np.ndarray of ids]
+        for batch in iterator:
+            keys = batch.column(key_col)
+            d = pc.dictionary_encode(keys)
+            idx = np.asarray(d.indices)
+            ids = np.asarray(batch.column(id_col))
+            for j, k in enumerate(d.dictionary.to_pylist()):
+                sel = ids[idx == j]
+                if len(sel):
+                    acc.setdefault(k, []).append(sel)
+        for k in sorted(acc):
+            u = np.unique(np.concatenate(acc[k])).astype(np.uint64)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([k], type=pa.string()),
+                 pa.array([bitmap.encode(u)], type=pa.binary())],
+                names=[key_col, "bitmap"],
+            )
+
+    return fn
+
+
+def _merge_partials(key, table):
+    # grouped-map applyInArrow: fold this key's partials with the
+    # container-level OR (one-sided blocks copied verbatim, colliding
+    # blocks re-canonicalized — bitmap.py:201-247). Sorted fold order for
+    # belt-and-braces determinism (OR is canonical anyway).
+    blobs = sorted(table.column("bitmap").to_pylist())  # one per partition, not per row of input data
+    out = blobs[0]
+    for b in blobs[1:]:
+        out = bitmap.bitmap_or(out, b)
+    return pa.table({
+        table.schema.names[0]: table.column(0).slice(0, 1),
+        "bitmap": pa.array([out], type=pa.binary()),
+    })
+
+
+def build_bitmaps(df: DataFrame, key_col: str, id_col: str,
+                  num_partitions: int | None = None) -> DataFrame:
+    """DataFrame[key_col, id_col] -> DataFrame[key_col, bitmap:binary] with
+    one canonical serialized bitmap per key, built fully distributed."""
+    src = df.select(key_col, id_col)
+    if num_partitions:
+        src = src.repartition(num_partitions, key_col, id_col)
+    else:
+        src = src.repartition(key_col, id_col)
+    partials = src.mapInArrow(
+        _encode_partials(key_col, id_col), f"{key_col} string, bitmap binary")
+    return partials.groupBy(key_col).applyInArrow(
+        _merge_partials, f"{key_col} string, bitmap binary")

