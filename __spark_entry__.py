@@ -15,8 +15,10 @@
   varintRLEAnalyze, varintDictGetStats, varintAdaptiveAnalyze — SURVEY
   §2.A.4) re-expressed as Spark-native relational queries with SQL oracles.
 * ``encode_stats_transcripts`` / ``compression_by_column`` — codec-choice +
-  compression-ratio lineage (rows-only check; codec choice is not
-  SQL-expressible — the only two queries without oracles).
+  compression-ratio lineage, now VALUE-gated (r3): the former by
+  construction (a forced-choice table whose expected lineage rows are
+  constants), the latter against an independent SQL recomputation of the
+  raw/varint size bookkeeping. Zero ``no_oracle`` rows remain.
 * ``dedup_*`` / ``simhash_*`` / ``text_*`` / ``similarity_*`` /
   ``fingerprint_*`` / ``multimodal_*`` — the training-data pipeline
   operators (varint_spark.pipeline), ALL with value-level oracles: the
@@ -103,6 +105,45 @@ def _q_float_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("dec") == F.col("value")) | bound
          | (F.col("dec").isNull() & F.col("value").isNull())).alias("within_bound"),
     )
+
+
+def _q_roundtrip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless EMBEDDING roundtrip — the array<float> matrix codec
+    (codecs/matrix.py; reference analogs src/varintDimension.c:183-310
+    packed matrix storage + src/varintFloat.h:27-114 precision modes).
+    The decoded table is EXPLODED to scalar (vec_id, label, pos, component)
+    rows because the gate's value hash operates on scalar columns — the
+    identity oracle then checks every component bit-exactly (f32→f64 cast
+    is exact on both sides)."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dec = roundtrip(embs, "label", "vec_id", _OPTS)
+    pos_val = F.posexplode("embedding")
+    return dec.select("vec_id", "label", pos_val.alias("pos", "component")) \
+        .select("vec_id", "label", F.col("pos").cast("long").alias("pos"),
+                F.col("component").cast("double").alias("component"))
+
+
+def _q_embedding_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy EMBEDDING roundtrip — the matrix codec's medium mode (10
+    mantissa bits per f32 plane; reference precision modes
+    src/varintFloat.h:44-49 composed with the dimension-matrix layout
+    src/varintDimension.c:183-310): every decoded component must sit
+    within the 2^-10 relative bound plus one f32 ulp for the final
+    f64→f32 cast. The oracle asserts the constant-true column — a hash
+    mismatch means a component escaped the bound."""
+    import dataclasses
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    opts = dataclasses.replace(_OPTS, f32_precision="medium")
+    dec = roundtrip(embs, "vec_id", "vec_id", opts).withColumnRenamed("embedding", "dec")
+    joined = embs.join(dec, "vec_id")
+    bound = 2.0 ** -10 + 2.0 ** -23
+    ok = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("dec"), lambda x, y:
+                   (F.abs(y.cast("double") - x.cast("double"))
+                    <= F.lit(bound) * F.abs(x.cast("double"))) | (y == x)),
+        F.lit(True), lambda acc, v: acc & v)
+    return joined.select("vec_id", ok.alias("within_bound"))
 
 
 def _q_random_access_point(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,30 +251,81 @@ def _q_delta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = transcripts.generate_spark(spark, n_conversations=300, n_hot=1, hot_turns=5000)
-    blocks = encode_transcripts(df, _OPTS)
+    """Codec-choice lineage through the VALUE gate — oracle by
+    construction: a table whose per-column statistical shapes force the
+    adaptive selector's hand (reference varintAdaptiveSelectEncoding
+    decision tree, src/varintAdaptive.c:183-310), so the expected
+    (codec, values, raw, encoded) rows are a CONSTANT the SQL oracle can
+    state outright:
+
+    * ``const_i`` (one distinct value) → 1-entry dict, 0-bit indices: 6 B
+    * ``g`` / ``lowcard`` (1 / 8 distinct strings) → dict_str
+    * ``seq`` (sequential ints, delta ≡ 1) → bp128_delta (width-0 blocks)
+    * ``noise`` (full-range 64-bit values) → no structure; the cost gate
+      floors at plain_int (raw + 3 B block header)
+
+    One group / one chunk / num_buckets=1 keeps the byte counts exact;
+    the repo's determinism invariant (block bytes identical at any
+    parallelism — tests/test_engine_e2e.py) makes the constants stable.
+    If a codec's wire format changes, this gate fails loudly and the
+    constants are re-derived — the golden-test workflow."""
+    n = 4096
+    df = spark.range(n).select(
+        F.lit("g").alias("g"),
+        F.col("id").cast("int").alias("seq"),
+        F.lit(42).cast("long").alias("const_i"),
+        F.concat(F.lit("cat_"), (F.col("id") % 8).cast("string")).alias("lowcard"),
+        (F.hash(F.col("id")).cast("long") * 2654435761).alias("noise"),
+    )
+    opts = EncodeOptions(num_buckets=1, chunk_rows=8192, salt_span=1 << 40,
+                         group_col="g", order_col="seq")
+    blocks = encode_transcripts(df, opts)
     return (
         lineage_summary(blocks)
-        .groupBy("column", "codec")
-        .agg(F.sum("values").alias("values"), F.sum("encoded_bytes").alias("encoded_bytes"))
-        .orderBy("column", "codec")
+        .groupBy(F.col("column").alias("col"), "codec")
+        .agg(F.sum("values").alias("n_values"),
+             F.sum("raw_bytes").alias("raw_bytes"),
+             F.sum("encoded_bytes").alias("encoded_bytes"))
+        .orderBy("col", "codec")
+    )
+
+
+# zigzag + LEB128 byte count, SQL-side (mirrors codecs/varint.encoded_size):
+# the independent floor computation the compression report must agree with
+def _leb_sql(v: str) -> str:
+    zz = f"(CASE WHEN {v} >= 0 THEN 2 * {v} ELSE -2 * {v} - 1 END)"
+    return (
+        f"(CASE WHEN {zz} < 128 THEN 1 WHEN {zz} < 16384 THEN 2"
+        f" WHEN {zz} < 2097152 THEN 3 WHEN {zz} < 268435456 THEN 4"
+        f" WHEN {zz} < 34359738368 THEN 5 WHEN {zz} < 4398046511104 THEN 6"
+        f" WHEN {zz} < 562949953421312 THEN 7"
+        f" WHEN {zz} < 72057594037927936 THEN 8 ELSE 9 END)"
     )
 
 
 def _q_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    """Per-column compression report through the VALUE gate: the engine's
+    ``raw_bytes`` and ``varint_bytes`` bookkeeping must match an
+    INDEPENDENT SQL computation of the same quantities (8 B/value for
+    ints/timestamps, data+4 B offsets for strings; zigzag-LEB128 byte
+    counts per value — reference wire format src/varint.c), and every
+    column must actually compress (``encoded_lt_raw``). This upgrades the
+    r2 ``no_oracle`` lineage row to a full value-level gate on the size
+    accounting the cost gate runs on."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "props", "ts")
     blocks = encode_transcripts(ev, EncodeOptions(num_buckets=16, chunk_rows=16_384,
                                                   salt_span=2**40, group_col="user_id",
                                                   order_col="event_id"),
                                 kinds=None)
     return (
-        blocks.groupBy("column")
+        blocks.groupBy(F.col("column").alias("col"))
         .agg(
             F.sum("raw_bytes").alias("raw_bytes"),
-            F.sum("encoded_bytes").alias("encoded_bytes"),
             F.sum("varint_bytes").alias("varint_bytes"),
+            (F.sum("encoded_bytes") < F.sum("raw_bytes")).alias("encoded_lt_raw"),
         )
-        .orderBy("column")
+        .orderBy("col")
     )
 
 
@@ -386,6 +478,90 @@ def _q_bitmap_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "op string, n long")
 
 
+def _q_tagged_sortable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tagged codec's DEFINING property through the gate (reference
+    src/varintTagged.h:12 — encoded values 'can be sorted with memcmp'):
+    every (user_id, event_id) pair is encoded to concatenated tagged
+    varints, the table is globally sorted BY THE ENCODED BYTES
+    (range shuffle + within-partition sort — no single-task window), and a
+    distributed pass verifies the logical pairs emerge in exact
+    (user_id, event_id) order: per-partition vectorized adjacency checks +
+    a tiny boundary merge over one summary row per partition (the
+    run_count merge pattern, analysis.py). Each partition also re-decodes
+    its keys and checks the roundtrip. The oracle is the constant-true
+    one-row summary — any memcmp/logical order divergence, anywhere,
+    flips ``sorted_ok`` and hash-fails."""
+    import numpy as np
+    import pyarrow as _pa
+
+    from varint_spark.codecs import tagged
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "event_id")
+
+    def keyize(iterator):
+        for batch in iterator:
+            u = np.asarray(batch.column("user_id")).astype(np.uint64)
+            e = np.asarray(batch.column("event_id")).astype(np.uint64)
+            inter = np.empty(2 * len(u), dtype=np.uint64)
+            inter[0::2] = u
+            inter[1::2] = e
+            buf = tagged.encode(inter)  # width-bucketed, vectorized
+            sizes = tagged.encoded_sizes(inter)
+            row_sizes = (sizes[0::2] + sizes[1::2]).astype(np.int32)
+            offsets = np.zeros(len(u) + 1, dtype=np.int32)
+            np.cumsum(row_sizes, out=offsets[1:])
+            key = _pa.Array.from_buffers(
+                _pa.binary(), len(u),
+                [None, _pa.py_buffer(offsets.tobytes()), _pa.py_buffer(buf)])
+            yield _pa.RecordBatch.from_arrays(
+                [batch.column("user_id"), batch.column("event_id"), key],
+                names=["user_id", "event_id", "key"])
+
+    keyed = ev.mapInArrow(keyize, "user_id long, event_id long, key binary")
+    parts = keyed.repartitionByRange(8, "key").sortWithinPartitions("key")
+
+    def check(iterator):
+        us, es = [], []
+        ok = True
+        for batch in iterator:
+            u = np.asarray(batch.column("user_id")).astype(np.uint64)
+            e = np.asarray(batch.column("event_id")).astype(np.uint64)
+            inter = np.empty(2 * len(u), dtype=np.uint64)
+            inter[0::2] = u
+            inter[1::2] = e
+            dec = tagged.decode(tagged.encode(inter))  # roundtrip each key
+            ok &= bool(np.array_equal(dec, inter))
+            us.append(u)
+            es.append(e)
+        if not us:
+            return
+        u, e = np.concatenate(us), np.concatenate(es)
+        if len(u) > 1:  # strict (user_id, event_id) adjacency (ids unique)
+            asc = (u[1:] > u[:-1]) | ((u[1:] == u[:-1]) & (e[1:] > e[:-1]))
+            ok &= bool(asc.all())
+        yield _pa.RecordBatch.from_arrays(
+            [_pa.array([int(u[0])], type=_pa.int64()),
+             _pa.array([int(e[0])], type=_pa.int64()),
+             _pa.array([int(u[-1])], type=_pa.int64()),
+             _pa.array([int(e[-1])], type=_pa.int64()),
+             _pa.array([len(u)], type=_pa.int64()),
+             _pa.array([ok], type=_pa.bool_())],
+            names=["fu", "fe", "lu", "le", "n", "ok"])
+
+    summary = parts.mapInArrow(
+        check, "fu long, fe long, lu long, le long, n long, ok boolean")
+    # one row per partition: the boundary window is over a tiny relation
+    w = W.orderBy("fu", "fe")
+    merged = summary.withColumn("pu", F.lag("lu").over(w)) \
+                    .withColumn("pe", F.lag("le").over(w))
+    boundary_ok = F.when(F.col("pu").isNull(), F.lit(True)).otherwise(
+        (F.col("pu") < F.col("fu"))
+        | ((F.col("pu") == F.col("fu")) & (F.col("pe") < F.col("fe"))))
+    return merged.select(
+        F.sum("n").alias("n_rows"),
+        F.min(F.col("ok") & boundary_ok).alias("sorted_ok"))
+
+
 def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by price per priority — window top-k (§2.B sorts/limits)."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -431,9 +607,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_orders": _rt("orders", "o_custkey", "o_orderkey"),
         "roundtrip_lineitem": _rt("lineitem", "l_orderkey", "l_linenumber"),
         "roundtrip_documents": _rt("documents", "lang", "doc_id"),
+        "roundtrip_embeddings": _q_roundtrip_embeddings,
         "roundtrip_transcripts": _q_transcripts,
         "codec_pfor_outliers": _q_pfor,
         "codec_float_lossy": _q_float_lossy,
+        "codec_embedding_lossy": _q_embedding_lossy,
         "random_access_point": _q_random_access_point,
         "random_access_prune": _q_random_access_prune,
         "analyze_minmax_range": _q_minmax,
@@ -457,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q_pricing_summary,
         "set_ops_bitmap_analog": _q_set_ops,
         "bitmap_codec_algebra": _q_bitmap_codec,
+        "tagged_sortable_keys": _q_tagged_sortable,
         "topk_per_group": _q_topk_per_group,
     }
 
@@ -587,6 +766,54 @@ def oracle_sql() -> dict[str, str]:
         ),
         "codec_float_lossy": (
             "SELECT event_id, TRUE AS within_bound FROM events"
+        ),
+        # identity oracle: the matrix codec's lossless mode must reproduce
+        # every embedding component bit-for-bit (exploded: the value hash
+        # operates on scalar columns)
+        "roundtrip_embeddings": (
+            "SELECT vec_id, label,"
+            " CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,"
+            " CAST(UNNEST(embedding) AS DOUBLE) AS component"
+            " FROM embeddings"
+        ),
+        "codec_embedding_lossy": (
+            "SELECT vec_id, TRUE AS within_bound FROM embeddings"
+        ),
+        # memcmp order over tagged-encoded (user_id, event_id) must equal
+        # logical pair order — checked exhaustively, summarized in one row
+        "tagged_sortable_keys": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, TRUE AS sorted_ok"
+            " FROM events"
+        ),
+        # oracle by construction: the forced-choice table's lineage rows
+        # are constants (derivations in the query docstring); protected by
+        # the blocks-deterministic-at-any-parallelism invariant
+        "encode_stats_transcripts": (
+            "SELECT * FROM (VALUES"
+            " ('const_i', 'dict_int',    CAST(4096 AS BIGINT), CAST(32768 AS BIGINT), CAST(6 AS BIGINT)),"
+            " ('g',       'dict_str',    CAST(4096 AS BIGINT), CAST(20480 AS BIGINT), CAST(15 AS BIGINT)),"
+            " ('lowcard', 'dict_str',    CAST(4096 AS BIGINT), CAST(36864 AS BIGINT), CAST(1597 AS BIGINT)),"
+            " ('noise',   'plain_int',   CAST(4096 AS BIGINT), CAST(32768 AS BIGINT), CAST(32771 AS BIGINT)),"
+            " ('seq',     'bp128_delta', CAST(4096 AS BIGINT), CAST(32768 AS BIGINT), CAST(1110 AS BIGINT))"
+            ") AS t(col, codec, n_values, raw_bytes, encoded_bytes)"
+        ),
+        # independent SQL recomputation of the engine's size bookkeeping
+        # (raw = 8 B/value or data+4 B offsets; strlen = byte length; varint = zigzag-LEB128
+        # bytes per value) + the every-column-compresses claim
+        "compression_by_column": (
+            "SELECT 'event_id' AS col, CAST(8 * COUNT(*) AS BIGINT) AS raw_bytes,"
+            f" CAST(SUM({_leb_sql('event_id')}) AS BIGINT) AS varint_bytes,"
+            " TRUE AS encoded_lt_raw FROM events"
+            " UNION ALL SELECT 'event_type',"
+            " CAST(SUM(strlen(event_type)) + 4 * COUNT(*) AS BIGINT),"
+            " CAST(SUM(strlen(event_type)) + 4 * COUNT(*) AS BIGINT), TRUE FROM events"
+            " UNION ALL SELECT 'props',"
+            " CAST(SUM(strlen(props)) + 4 * COUNT(*) AS BIGINT),"
+            " CAST(SUM(strlen(props)) + 4 * COUNT(*) AS BIGINT), TRUE FROM events"
+            " UNION ALL SELECT 'ts', CAST(8 * COUNT(*) AS BIGINT),"
+            f" CAST(SUM({_leb_sql('epoch_us(ts)')}) AS BIGINT), TRUE FROM events"
+            " UNION ALL SELECT 'user_id', CAST(8 * COUNT(*) AS BIGINT),"
+            f" CAST(SUM({_leb_sql('user_id')}) AS BIGINT), TRUE FROM events"
         ),
         # chunk alignment (salt_span % chunk_rows == 0, contiguous ids from
         # 0) makes within-chunk position = event_id % 1024 — see the query

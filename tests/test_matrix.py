@@ -1,0 +1,149 @@
+"""Matrix (embedding) codec tests — mirrors the reference's dimension
+round-trip suites (reference src/varintDimensionTest.c shape/value checks,
+src/varintFloatTest.c within-bound suites) for the f32 matrix composition."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from varint_spark.codecs import blocks, matrix
+
+
+def _normalized(n, dim, seed=42):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def _roundtrip(mat, precision=None):
+    blk = matrix.encode_block(matrix.matrix_to_list(mat), precision)
+    cid, count, payload = blocks.unpack_block(blk)
+    assert cid == blocks.MATRIX_F32
+    assert count == len(mat)
+    return matrix.list_to_matrix(matrix.decode(payload, count)), blk
+
+
+def test_lossless_bit_identical():
+    mat = _normalized(500, 64)
+    out, blk = _roundtrip(mat)
+    assert out.dtype == np.float32
+    np.testing.assert_array_equal(mat.view(np.int32), out.view(np.int32))
+    # normalized embeddings: plane-coherent exponents → beats raw f32
+    assert len(blk) < 4 * mat.size
+
+
+@pytest.mark.parametrize("precision,mbits", [("medium", 10), ("low", 4)])
+def test_lossy_within_bound(precision, mbits):
+    mat = _normalized(300, 32, seed=7)
+    out, blk = _roundtrip(mat, precision)
+    a, b = mat.astype(np.float64), out.astype(np.float64)
+    rel = np.abs(b - a) / np.abs(a)
+    # 2^-mbits from the mantissa truncation + one f32 ulp from the final cast
+    assert rel.max() <= 2.0 ** -mbits + 2.0 ** -23
+    assert len(blk) < 4 * mat.size * (mbits + 14) / 32  # roughly mbits+sign+exp
+
+
+def test_adversarial_plain_fallback_still_exact():
+    """Full-range random bit patterns can't be beaten structurally: the
+    lossless cost gate must fall back to plain f32 (overhead = header only)."""
+    rng = np.random.default_rng(3)
+    adv = rng.integers(0, 2 ** 32, (800, 16), dtype=np.uint64) \
+        .astype(np.uint32).view(np.float32)
+    adv = np.nan_to_num(adv, nan=1.0, posinf=2.0, neginf=-2.0)
+    out, blk = _roundtrip(adv)
+    np.testing.assert_array_equal(adv.view(np.int32), out.view(np.int32))
+    assert len(blk) <= 4 * adv.size + 16  # ≤ raw + tiny header
+
+
+def test_specials_exact_all_precisions():
+    sp = np.array([[np.nan, np.inf, -np.inf, 0.0, -0.0, 1e-40, 3.4e38],
+                   [1.0, -1.0, 0.5, -0.25, 2.0, -4.0, 8.0]], dtype=np.float32)
+    # lossless: everything bit-exact, including the f32 subnormal (1e-40,
+    # which widens to a NORMAL f64 — 23 mantissa bits still cover it)
+    out, _ = _roundtrip(sp, None)
+    np.testing.assert_array_equal(sp.view(np.int32), out.view(np.int32))
+    for precision, mbits in (("medium", 10), ("low", 4)):
+        out, _ = _roundtrip(sp, precision)
+        # NaN/Inf/zero are f64-specials: stored exact in every mode
+        np.testing.assert_array_equal(sp[0, :5].view(np.int32),
+                                      out[0, :5].view(np.int32))
+        # f32 subnormal / max-float widen to normal f64: they get the
+        # relative-error bound, not exactness
+        a = sp[0, 5:].astype(np.float64)
+        b = out[0, 5:].astype(np.float64)
+        assert (np.abs(b - a) <= (2.0 ** -mbits + 2.0 ** -23) * np.abs(a)).all()
+        assert np.isfinite(out[0, 6])  # near-f32-max must not round to Inf
+
+
+def test_empty_and_single_row():
+    for shape in [(0, 0), (1, 8)]:
+        mat = _normalized(shape[0], shape[1]) if shape[0] else \
+            np.empty(shape, dtype=np.float32)
+        out, _ = _roundtrip(mat)
+        assert out.shape[0] == shape[0]
+        if shape[0]:
+            np.testing.assert_array_equal(mat.view(np.int32), out.view(np.int32))
+
+
+def test_encoded_size_exact():
+    mat = _normalized(200, 16, seed=5)
+    for precision in (None, "medium"):
+        assert matrix.encoded_size(mat, precision) == \
+            len(matrix.encode(mat, precision))
+
+
+def test_ragged_raises():
+    arr = pa.array([[1.0, 2.0], [3.0]], type=pa.list_(pa.float32()))
+    with pytest.raises(ValueError, match="ragged"):
+        matrix.list_to_matrix(arr)
+
+
+def test_nullable_rows_through_selector():
+    from varint_spark.selector import decode_column, encode_column
+
+    mat = _normalized(50, 8, seed=9)
+    rows = [None if i % 7 == 0 else [float(x) for x in mat[i]]
+            for i in range(50)]
+    arr = pa.array(rows, type=pa.list_(pa.float32()))
+    blk = encode_column(arr, "f32list")
+    out = decode_column(blk)
+    assert out.null_count == arr.null_count
+    for i in range(50):
+        if rows[i] is None:
+            assert not out[i].is_valid
+        else:
+            got = np.array(out[i].as_py(), dtype=np.float32)
+            np.testing.assert_array_equal(mat[i].view(np.int32), got.view(np.int32))
+
+
+def test_engine_roundtrip_embeddings(spark):
+    """End-to-end through the grouped encode/decode engine at two
+    parallelism levels — decoded table must match bit-exactly and block
+    bytes must be deterministic (the repo-wide invariant)."""
+    import pyspark.sql.functions as F
+
+    from varint_spark.engine import EncodeOptions, encode_transcripts, roundtrip
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    opts = EncodeOptions(num_buckets=4, chunk_rows=64, salt_span=256,
+                         group_col="label", order_col="vec_id")
+    expected = {r.vec_id: (np.array(r.embedding, dtype=np.float32), r.label)
+                for r in embs.collect()}
+    digests = None
+    for parts in (2, 7):
+        src = embs.repartition(parts)
+        dec = roundtrip(src, "label", "vec_id", opts)
+        got = {r.vec_id: (np.array(r.embedding, dtype=np.float32), r.label)
+               for r in dec.collect()}
+        assert got.keys() == expected.keys()
+        for k, (vec, lbl) in expected.items():
+            assert got[k][1] == lbl
+            np.testing.assert_array_equal(vec.view(np.int32), got[k][0].view(np.int32))
+        blk = encode_transcripts(src, opts).filter(F.col("column") == "embedding")
+        d = sorted(r.digest for r in blk.select("digest").collect())
+        if digests is None:
+            digests = d
+        else:
+            assert d == digests  # deterministic at any parallelism

@@ -32,6 +32,8 @@ F64_XOR = 7     # Gorilla-style XOR-prev over float64 bits (ref src/varintFloat.
 SEG_DELTA = 8   # per-segment delta (prevValue threading, ref src/varintBP128.c:347-427)
 F64_LOSSY = 9   # lossy sign/exp/mantissa split, precision modes (ref src/varintFloat.h:27-114)
 BP128_DELTA = 10  # 128-value blocks, per-block width + first (ref src/varintBP128.c:167-214)
+MATRIX_F32 = 11   # fixed-dim f32 matrix (embeddings): column-major f64lossy planes
+#                   (ref src/varintDimension.h:30-56 pair header + src/varintFloat.h:27-114)
 # string codecs
 PLAIN_STR = 16  # lengths int-block + concatenated utf-8 bytes
 DICT_STR = 17   # codes int-block + dictionary PLAIN_STR block
@@ -53,6 +55,7 @@ CODEC_NAMES = {
     SEG_DELTA: "seg_delta",
     F64_LOSSY: "f64_lossy",
     BP128_DELTA: "bp128_delta",
+    MATRIX_F32: "matrix_f32",
     PLAIN_STR: "plain_str",
     DICT_STR: "dict_str",
     FSST_STR: "fsst_str",

@@ -70,6 +70,8 @@ def kinds_for_schema(schema: T.StructType) -> dict[str, str]:
             out[f.name] = "f64"
         elif isinstance(dt, T.StringType):
             out[f.name] = "str"
+        elif isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.FloatType):
+            out[f.name] = "f32list"  # embeddings (codecs/matrix.py)
         else:
             raise TypeError(f"unsupported column type for {f.name}: {dt}")
     return out
@@ -94,6 +96,9 @@ class EncodeOptions:
     # explicit opt-in lossy float mode ('high'|'medium'|'low'; None =
     # lossless); applies to every f64 column in the table
     f64_precision: str | None = None
+    # same opt-in for array<float> embedding columns ('medium'|'low';
+    # None = bit-exact matrix codec)
+    f32_precision: str | None = None
 
 
 INT_KINDS = ("int32", "int64", "ts", "tsntz", "f64")
@@ -142,12 +147,19 @@ def _encode_chunk_rows(columns: dict[str, pa.Array], n: int, part_key: str,
                        shared_cols: dict | None = None,
                        segments: np.ndarray | None = None,
                        fsst_cache: dict | None = None,
-                       f64_precision: str | None = None) -> list[dict]:
+                       f64_precision: str | None = None,
+                       f32_precision: str | None = None) -> list[dict]:
     rows = []
     for col, kind in kinds.items():
         arr = columns[col]
         mn = mx = None
-        if kind in INT_KINDS:
+        if kind == "f32list":
+            # Arrow list layout: 4 B per element + 4 B offset per row
+            n_vals = int(pa.compute.sum(pa.compute.list_value_length(arr)).as_py() or 0)
+            raw_bytes = 4 * n_vals + 4 * n
+            vb = raw_bytes  # reference has no embedding codec; floor = raw
+            block = encode_column(arr, "f32list", f32_precision=f32_precision)
+        elif kind in INT_KINDS:
             arr = _col_to_int64(arr, kind)
             raw_bytes = 8 * n
             dense = arr.drop_null() if arr.null_count else arr
@@ -201,7 +213,8 @@ def _resolve_shared(shared, kinds: dict[str, str]) -> dict | None:
 
 
 def make_encode_udf(kinds: dict[str, str], chunk_rows: int, group_col: str,
-                    order_col: str, shared=None, f64_precision: str | None = None):
+                    order_col: str, shared=None, f64_precision: str | None = None,
+                    f32_precision: str | None = None):
     """Grouped-map Arrow UDF: one (bucket, salt) group of rows -> block
     rows. Arrow-native end to end — rows never materialize as Python
     objects (the applyInPandas equivalent spends most of its time building
@@ -222,7 +235,7 @@ def make_encode_udf(kinds: dict[str, str], chunk_rows: int, group_col: str,
             segments = _run_lengths(chunk_cols[group_col]) if group_col in chunk_cols else None
             out.extend(_encode_chunk_rows(chunk_cols, m, part_key, chunk_id, kinds,
                                           shared_cols, segments, fsst_cache,
-                                          f64_precision))
+                                          f64_precision, f32_precision))
         return pa.Table.from_pylist(out, schema=_BLOCK_PA_SCHEMA)
 
     return encode_group
@@ -248,7 +261,7 @@ def encode_transcripts(df: DataFrame, opts: EncodeOptions = EncodeOptions(),
     kinds = kinds or kinds_for_schema(df.schema)
     keyed = with_partition_keys(df, opts)
     fn = make_encode_udf(kinds, opts.chunk_rows, opts.group_col, opts.order_col,
-                         shared, opts.f64_precision)
+                         shared, opts.f64_precision, opts.f32_precision)
     return keyed.groupBy("_bucket", "_salt").applyInArrow(fn, BLOCK_SCHEMA_DDL)
 
 
@@ -269,6 +282,8 @@ def _decoded_to_output(arr: pa.Array, kind: str) -> pa.Array:
         return pa.array(vals, type=pa.float64())
     if kind == "str":
         return arr.cast(pa.string())
+    if kind == "f32list":
+        return arr  # matrix.decode already yields list<float>
     return arr
 
 
@@ -301,6 +316,7 @@ _DDL_KINDS = {
     "tinyint": "int32", "smallint": "int32", "int": "int32", "integer": "int32",
     "bigint": "int64", "long": "int64",
     "timestamp": "ts", "timestamp_ntz": "tsntz", "double": "f64", "string": "str",
+    "array<float>": "f32list",
 }
 
 

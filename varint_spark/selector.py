@@ -23,7 +23,7 @@ from dataclasses import dataclass
 import numpy as np
 import pyarrow as pa
 
-from .codecs import blocks, bitpack, bp128, delta, dict_codec, f64lossy, f64xor, foref, leb128, pfor, plain, rle, segdelta, strings, varint
+from .codecs import blocks, bitpack, bp128, delta, dict_codec, f64lossy, f64xor, foref, leb128, matrix, pfor, plain, rle, segdelta, strings, varint
 from .codecs.blocks import (
     BP128_DELTA, DELTA, DICT_INT, DICT_STR, DICT_STR_SHARED, F64_LOSSY, F64_XOR, FOR, FSST_STR,
     FSST_STR_SHARED, LEB128_ZZ, NULLABLE, PFOR, PLAIN_INT, PLAIN_STR, RLE_INT,
@@ -282,16 +282,20 @@ def _wrap_nullable(valid_mask: np.ndarray, inner: bytes) -> bytes:
 def encode_column(values: pa.Array, kind: str, shared_col=None,
                   segments: np.ndarray | None = None,
                   fsst_cache: dict | None = None, cache_key: str = "",
-                  f64_precision: str | None = None) -> bytes:
-    """Arrow array (int64/large_utf8, possibly with nulls) -> block bytes.
+                  f64_precision: str | None = None,
+                  f32_precision: str | None = None) -> bytes:
+    """Arrow array (int64/large_utf8/list<float>, possibly with nulls) ->
+    block bytes.
 
-    ``kind`` is 'int' or 'str'. Nulls are stripped into a validity bitmap
-    (the reference's column_store example keeps a null bitmap beside each
-    column — examples/integration/column_store.c:66-71).
+    ``kind`` is 'int', 'str', or 'f32list'. Nulls are stripped into a
+    validity bitmap (the reference's column_store example keeps a null
+    bitmap beside each column — examples/integration/column_store.c:66-71).
 
     ``f64_precision`` (explicit opt-in, kind='f64' only): encode lossily
     with the given precision mode instead of the lossless cost gate
-    (reference varintFloatEncode modes, src/varintFloat.h:27-114)."""
+    (reference varintFloatEncode modes, src/varintFloat.h:27-114).
+    ``f32_precision`` is the same opt-in for kind='f32list' embedding
+    columns ('medium'/'low'; None = bit-exact)."""
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
 
@@ -305,12 +309,16 @@ def encode_column(values: pa.Array, kind: str, shared_col=None,
         dense = values.drop_null()
         if kind == "str":
             inner = encode_str_block(dense, shared_col, fsst_cache, cache_key)
+        elif kind == "f32list":
+            inner = matrix.encode_block(dense, f32_precision)
         else:
             # segments don't survive null-stripping; drop them (rare path)
             inner = _enc_int(dense.to_numpy(zero_copy_only=False).astype(np.int64), None)
         return _wrap_nullable(valid, inner)
     if kind == "str":
         return encode_str_block(values, shared_col, fsst_cache, cache_key)
+    if kind == "f32list":
+        return matrix.encode_block(values, f32_precision)
     return _enc_int(values.to_numpy(zero_copy_only=False).astype(np.int64), segments)
 
 
@@ -329,6 +337,8 @@ def decode_column(buf: bytes | memoryview, shared_col=None) -> pa.Array:
         safe_idx = pa.array(np.where(valid, idx, 0), type=pa.int64())
         out = inner.take(safe_idx)
         return pa.compute.if_else(mask, pa.nulls(count, type=out.type), out)
+    if cid == blocks.MATRIX_F32:
+        return matrix.decode(payload, count)
     if cid in blocks.INT_CODECS:
         return pa.array(_INT_DECODERS[cid](payload, count), type=pa.int64())
     return decode_str_block(buf, shared_col)
