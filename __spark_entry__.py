@@ -341,6 +341,12 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from varint_spark.pipeline import dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # <5-char docs have no 5-gram shingles (the pipeline's byte-sum
+    # fallback and the oracle's empty shingle set would diverge), and
+    # non-ASCII text shifts byte-shingles vs the oracle's char-shingles —
+    # filter BOTH on BOTH sides (ADVICE r2)
+    docs = docs.filter((F.length("text") >= 5)
+                       & (F.length("text") == F.octet_length("text")))
     doubled = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
     pairs = dedup.minhash_lsh_pairs(doubled, "doc_id", "text", num_hashes=32, bands=8)
     return dedup.ngram_jaccard_pairs(doubled, pairs, "doc_id", "text", threshold=0.8) \
@@ -401,6 +407,9 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from varint_spark.pipeline import textstats
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # ASCII-only on both sides: the portable kernel hashes bytes, the SQL
+    # oracle hashes codepoints — identical iff chars == bytes (ADVICE r2)
+    docs = docs.filter(F.length("text") == F.octet_length("text"))
     # portable mod-(2^31-1) hash so the DuckDB oracle can recompute the
     # winnowing min per document; the 64-bit kernel stays the default
     return textstats.fingerprints(docs, "doc_id", "text", portable=True)
@@ -734,7 +743,7 @@ def _fingerprint_oracle(window: int = 16) -> str:
         f" ELSE CAST(list_min(list_transform(range(length(text) - {window} + 1),"
         f"   j -> {fold})) AS BIGINT)"
         " END AS fingerprint"
-        " FROM documents"
+        " FROM documents WHERE length(text) = strlen(text)"
     )
 
 
@@ -879,7 +888,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_jaccard": (
             "WITH corpus AS ("
             "  SELECT doc_id, text FROM documents"
-            "  UNION ALL SELECT doc_id + 1000000, text FROM documents),"
+            "  WHERE length(text) >= 5 AND length(text) = strlen(text)"
+            "  UNION ALL SELECT doc_id + 1000000, text FROM documents"
+            "  WHERE length(text) >= 5 AND length(text) = strlen(text)),"
             " shingled AS ("
             "  SELECT doc_id,"
             "    list_sort(list_distinct(list_transform(range(length(text) - 4),"

@@ -87,7 +87,13 @@ def test_pair_jaccard_matches_setwise():
 
 
 def test_portable_window_min_matches_naive():
-    s = _fixture(seed=7)
+    # ASCII corpus: the portable mode's contract (byte-hash == the SQL
+    # oracle's codepoint-hash only below 0x80, enforced below)
+    rng = np.random.default_rng(7)
+    texts = ["".join(chr(rng.integers(32, 127)) for _ in range(rng.integers(0, 120)))
+             for _ in range(300)]
+    texts += ["", "a", "abcdefghijklmno", "abcdefghijklmnop", "x" * 3000]
+    s = pd.Series(texts)
     plane, offs = tk.to_plane(s)
     got = tk.portable_window_min(plane, offs, 16)
     for i, t in enumerate(s):
@@ -101,6 +107,16 @@ def test_portable_window_min_matches_naive():
             for j in range(len(b) - 15)
         )
         assert got[i] == best, i
+
+
+def test_portable_window_min_rejects_non_ascii():
+    """Non-ASCII text must fail LOUDLY in portable mode (byte-hash vs the
+    SQL oracle's codepoint-hash silently diverge above 0x7F — ADVICE r2)."""
+    import pytest
+
+    plane, offs = tk.to_plane(pd.Series(["héllo wörld, this is long enough"]))
+    with pytest.raises(ValueError, match="ASCII"):
+        tk.portable_window_min(plane, offs, 16)
 
 
 def test_no_per_document_python_loops_left():

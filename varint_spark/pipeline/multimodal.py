@@ -61,7 +61,7 @@ def media_from_documents(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def _fake_decode(payload: bytes, modality: str) -> np.ndarray:
+def _fake_decode(payload, modality: str) -> np.ndarray:
     """Deterministic stand-in for a real media decoder: a fixed-length
     feature vector derived from the payload digest. A real deployment
     replaces this via :func:`set_decoder` (e.g. PIL decode + resize +
@@ -74,28 +74,51 @@ _DECODER = _fake_decode
 
 
 def set_decoder(fn) -> None:
-    """Swap in a real decoder: fn(payload: bytes, modality: str) -> np.ndarray."""
+    """Swap in a real decoder: fn(payload: bytes-like, modality: str) ->
+    np.ndarray (payload arrives as a zero-copy memoryview; wrap in
+    bytes() if the target library insists on bytes)."""
     global _DECODER
     _DECODER = fn
 
 
 def extract_features(df: DataFrame, feature_dim: int = 32) -> DataFrame:
-    """payload -> float feature vector via mapInArrow (Arrow batches carry
-    the binary column; no per-row Python outside the decoder itself, which
-    is inherently per-item). Partitioning: repartition upstream by
-    media_id so decode parallelism matches cores."""
+    """payload -> float feature vector via mapInArrow. The only per-item
+    Python is the decode call itself (inherently per-item — a real PIL /
+    librosa decoder consumes one payload at a time); everything around it
+    is zero-copy: payloads are memoryview slices of the Arrow data buffer
+    (never materialized as Python bytes lists), the modality column is
+    dictionary-encoded (one Python string per DISTINCT modality), and the
+    feature matrix goes back to Arrow as one flat buffer. Partitioning:
+    repartition upstream by media_id so decode parallelism matches cores."""
+    import pyarrow.compute as pc
 
     def udf(iterator):
         for tbl in iterator:
             ids = tbl.column("media_id")
-            payloads = tbl.column("payload").to_pylist()
-            modalities = tbl.column("modality").to_pylist()
-            feats = np.zeros((len(payloads), feature_dim), dtype=np.float64)
-            for i, (p, m) in enumerate(zip(payloads, modalities)):
-                v = _DECODER(p, m)
+            pay = tbl.column("payload")
+            if isinstance(pay, pa.ChunkedArray):
+                pay = pay.combine_chunks()
+            n = len(pay)
+            if n:
+                # BinaryArray layout: buffers = [validity, int32 offsets,
+                # data]; honor the array's slice offset
+                offs = np.frombuffer(pay.buffers()[1], dtype=np.int32)[
+                    pay.offset : pay.offset + n + 1]
+                data = memoryview(pay.buffers()[2])
+            else:
+                offs, data = np.zeros(1, dtype=np.int32), memoryview(b"")
+            d = pc.dictionary_encode(tbl.column("modality"))
+            mod_idx = np.asarray(d.indices)
+            mods = d.dictionary.to_pylist()  # distinct modalities only
+            feats = np.zeros((n, feature_dim), dtype=np.float64)
+            for i in range(n):
+                v = _DECODER(data[offs[i]:offs[i + 1]], mods[mod_idx[i]])
                 feats[i, : min(feature_dim, len(v))] = v[:feature_dim]
+            offsets = pa.array(np.arange(n + 1, dtype=np.int32) * feature_dim,
+                               type=pa.int32())
+            values = pa.array(feats.ravel(), type=pa.float64())
             yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(list(feats), type=pa.list_(pa.float64()))],
+                [ids, pa.ListArray.from_arrays(offsets, values)],
                 names=["media_id", "features"],
             )
 

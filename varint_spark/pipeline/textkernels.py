@@ -226,7 +226,17 @@ def portable_window_min(plane: np.ndarray, offsets: np.ndarray, width: int,
     ANSI SQL (DuckDB list_reduce over codepoints) can reproduce exactly.
     Documents shorter than ``width`` yield 0 (documented; the production
     64-bit kernel keeps the byte-sum fallback instead). Vectorized: the
-    width-step loop is over ``width`` constants, never over documents."""
+    width-step loop is over ``width`` constants, never over documents.
+
+    ASCII-only by contract: this kernel hashes BYTES while its SQL twin
+    hashes CODEPOINTS — they agree iff every byte < 0x80. Non-ASCII input
+    fails loudly here instead of silently diverging from the oracle
+    (ADVICE r2); the production 64-bit kernel has no such restriction."""
+    if len(plane) and int(plane.max()) > 127:
+        raise ValueError(
+            "portable_window_min requires ASCII text (byte-hash == "
+            "codepoint-hash only below 0x80); filter or use the default "
+            "64-bit kernel for non-ASCII corpora")
     n = len(offsets) - 1
     lens = np.diff(offsets)
     out = np.zeros(n, dtype=np.int64)

@@ -74,12 +74,17 @@ def build_shared_tables(df: DataFrame, str_cols: list[str] | None = None,
             if len(vals) <= max_dict:
                 shared.dicts[col] = sorted(vals)
                 continue
-        # high-cardinality: train FSST on a bounded sample. sample(), not
-        # bare limit(): limit takes the first partition(s), training the
-        # broadcast tables on a non-representative prefix of the data
-        sample_rows = df.select(col).dropna().sample(fraction=0.5, seed=7).limit(4000).collect()
-        if len(sample_rows) < 4000:  # small inputs: top up deterministically
-            sample_rows = df.select(col).dropna().limit(4000).collect()
+        # high-cardinality: train FSST on a bounded sample taken as the
+        # 4000 smallest value-hashes — TakeOrdered (distributed top-k, no
+        # full sort), spread uniformly across the corpus (a hash order is
+        # a shuffle), and a pure function of the VALUES, so the broadcast
+        # tables — and every block encoded against them — stay
+        # deterministic at any partitioning. (ADVICE r2: the previous
+        # sample().limit() still took a partition-prefix slice because
+        # limit short-circuits the earliest partitions.)
+        sample_rows = (df.select(col).dropna()
+                       .orderBy(F.xxhash64(col, F.lit(7)))
+                       .limit(4000).collect())
         corpus = " ".join(r[0] for r in sample_rows).encode("utf-8", "surrogatepass")
         corpus = corpus[:SAMPLE_BYTES]
         tables = fsst.train(np.frombuffer(corpus, dtype=np.uint8))
