@@ -42,11 +42,17 @@ def main() -> None:
     mask = (np.uint64(1) << nbits.astype(np.uint64)) - np.uint64(1)
     weighted = (raw & mask).view(np.int64)
 
+    from varint_spark.codecs import elias
+
+    # heavy-tailed tiny values — elias gamma's winning regime
+    geo = (rng.geometric(0.5, N) - 1).astype(np.int64)
+
     for name, codec, data in [
         ("delta_sorted_ts", delta, ts),
         ("for_tight_cluster", foref, cluster),
         ("varint_bitweighted", varint, weighted),
         ("pfor_tight_cluster", pfor, cluster),
+        ("elias_gamma_geometric", elias, geo),
     ]:
         t_enc, buf = _best_of(lambda c=codec, d=data: c.encode(d))
         t_dec, out = _best_of(lambda c=codec, b=buf: c.decode(b, N))
@@ -56,6 +62,38 @@ def main() -> None:
             "decode_MBps": round(data.nbytes / t_dec / 1e6, 1),
             "ratio": round(data.nbytes / len(buf), 2),
         }
+
+    # IVF assign hot path: zero-copy Arrow list -> (n, dim) matrix + argmax
+    # vs the to_pylist materialization it replaced (VERDICT r2 #1)
+    import pyarrow as _pa
+    from varint_spark.pipeline.similarity import list_matrix
+
+    n_vec, dim, k = 200_000, 64, 16
+    mat = rng.standard_normal((n_vec, dim)).astype(np.float32)
+    cent = rng.standard_normal((k, dim))
+    offsets = _pa.array(np.arange(n_vec + 1, dtype=np.int32) * dim, type=_pa.int32())
+    arr = _pa.ListArray.from_arrays(offsets, _pa.array(mat.ravel(), type=_pa.float32()))
+    nbytes = mat.nbytes
+
+    def assign_zero_copy():
+        vecs = list_matrix(arr)
+        vn = vecs / np.maximum(np.linalg.norm(vecs.astype(np.float64), axis=1,
+                                              keepdims=True), 1e-12)
+        return np.argmax(vn @ cent.T, axis=1)
+
+    def assign_pylist():
+        vecs = np.array(arr.to_pylist(), dtype=np.float64)
+        vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        return np.argmax(vn @ cent.T, axis=1)
+
+    t_zc, a1 = _best_of(assign_zero_copy)
+    t_py, a2 = _best_of(assign_pylist, reps=1)
+    assert np.array_equal(a1, a2)
+    results["ivf_assign_200k_x64"] = {
+        "zero_copy_MBps": round(nbytes / t_zc / 1e6, 1),
+        "to_pylist_MBps": round(nbytes / t_py / 1e6, 1),
+        "speedup": round(t_py / t_zc, 1),
+    }
 
     # shingle hashing: corpus-plane kernel vs the per-document loop it
     # replaced (billions of short docs make the doc loop the bottleneck)

@@ -34,6 +34,8 @@ F64_LOSSY = 9   # lossy sign/exp/mantissa split, precision modes (ref src/varint
 BP128_DELTA = 10  # 128-value blocks, per-block width + first (ref src/varintBP128.c:167-214)
 MATRIX_F32 = 11   # fixed-dim f32 matrix (embeddings): column-major f64lossy planes
 #                   (ref src/varintDimension.h:30-56 pair header + src/varintFloat.h:27-114)
+ELIAS_GAMMA = 12  # gamma bitstream over zigzag+1 (ref src/varintElias.c:88-226)
+DELTA_GAMMA = 13  # first + gamma-coded zigzag deltas (gamma where it pays: tiny heavy-tailed deltas)
 # string codecs
 PLAIN_STR = 16  # lengths int-block + concatenated utf-8 bytes
 DICT_STR = 17   # codes int-block + dictionary PLAIN_STR block
@@ -56,6 +58,8 @@ CODEC_NAMES = {
     F64_LOSSY: "f64_lossy",
     BP128_DELTA: "bp128_delta",
     MATRIX_F32: "matrix_f32",
+    ELIAS_GAMMA: "elias_gamma",
+    DELTA_GAMMA: "delta_gamma",
     PLAIN_STR: "plain_str",
     DICT_STR: "dict_str",
     FSST_STR: "fsst_str",
@@ -66,7 +70,7 @@ CODEC_NAMES = {
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
 INT_CODECS = (PLAIN_INT, LEB128_ZZ, DELTA, FOR, PFOR, RLE_INT, DICT_INT, F64_XOR,
-              SEG_DELTA, F64_LOSSY, BP128_DELTA)
+              SEG_DELTA, F64_LOSSY, BP128_DELTA, ELIAS_GAMMA, DELTA_GAMMA)
 STR_CODECS = (PLAIN_STR, DICT_STR, FSST_STR, DICT_STR_SHARED, FSST_STR_SHARED)
 
 

@@ -23,9 +23,10 @@ from dataclasses import dataclass
 import numpy as np
 import pyarrow as pa
 
-from .codecs import blocks, bitpack, bp128, delta, dict_codec, f64lossy, f64xor, foref, leb128, matrix, pfor, plain, rle, segdelta, strings, varint
+from .codecs import blocks, bitpack, bp128, delta, dict_codec, elias, f64lossy, f64xor, foref, leb128, matrix, pfor, plain, rle, segdelta, strings, varint
 from .codecs.blocks import (
-    BP128_DELTA, DELTA, DICT_INT, DICT_STR, DICT_STR_SHARED, F64_LOSSY, F64_XOR, FOR, FSST_STR,
+    BP128_DELTA, DELTA, DELTA_GAMMA, DICT_INT, DICT_STR, DICT_STR_SHARED, ELIAS_GAMMA,
+    F64_LOSSY, F64_XOR, FOR, FSST_STR,
     FSST_STR_SHARED, LEB128_ZZ, NULLABLE, PFOR, PLAIN_INT, PLAIN_STR, RLE_INT,
     SEG_DELTA, CODEC_NAMES,
 )
@@ -80,6 +81,8 @@ _INT_ENCODERS = {
     DICT_INT: dict_codec.encode,
     F64_XOR: f64xor.encode,
     BP128_DELTA: bp128.encode,
+    ELIAS_GAMMA: elias.encode,
+    DELTA_GAMMA: elias.encode_delta,
 }
 _INT_DECODERS = {
     PLAIN_INT: plain.decode_int,
@@ -93,6 +96,8 @@ _INT_DECODERS = {
     SEG_DELTA: segdelta.decode,
     F64_LOSSY: f64lossy.decode,
     BP128_DELTA: bp128.decode,
+    ELIAS_GAMMA: elias.decode,
+    DELTA_GAMMA: elias.decode_delta,
 }
 
 
@@ -109,10 +114,17 @@ def candidate_int_codecs(s: IntStats) -> list[int]:
         cands.append(DELTA)
         cands.append(BP128_DELTA)  # block-granular twin: wins when deltas
         #                            bit-pack below their LEB128 byte cost
+        cands.append(DELTA_GAMMA)  # per-delta-length bits: wins when the
+        #                            delta distribution is heavy-tailed
+        #                            (fixed widths pay the max, LEB128
+        #                            pays ≥ 8 bits; gamma reaches 1)
     if s.outlier_ratio > 0.005:
         cands.append(PFOR)
+        if s.min > -(1 << 63) + 1:  # zigzag+1 headroom (elias.py guard)
+            cands.append(ELIAS_GAMMA)  # same regime as PFOR, but bit-exact
+            #                            per-value lengths (ref varintElias)
     cands.append(FOR)
-    return cands[:4]
+    return cands[:5]
 
 
 _INT_SIZERS = {
@@ -124,6 +136,8 @@ _INT_SIZERS = {
     DICT_INT: dict_codec.encoded_size,
     F64_XOR: f64xor.encoded_size,
     BP128_DELTA: bp128.encoded_size,
+    ELIAS_GAMMA: elias.encoded_size,
+    DELTA_GAMMA: elias.encoded_size_delta,
 }
 
 
