@@ -17,9 +17,14 @@ Stage plan (SURVEY §3, "thread/process/node boundaries"):
 Everything in the UDFs is vectorized numpy/Arrow — no per-row Python.
 
 Scale notes (100 TB / 1000 executors): num_buckets is the unit of
-parallelism — set it to ~2-4× total cores; block rows are a few MB each
-(chunk_rows × ~bytes/turn ÷ ratio), so shuffle partitions stay bounded;
-the only driver-side data is the lineage summary (one row per partition).
+parallelism — set it to ≥ 8× total cores. MEASURED (BENCH/runs.log,
+substrate mode): at 4× cores the last wave of large groups runs with
+idle cores and the straggler tail reads as false scaling inefficiency
+(N→4N kernel efficiency 0.64 at 16 buckets/4 cores vs 0.99 at 128);
+8×+ gives enough balanced waves that the tail amortizes. Block rows are
+a few MB each (chunk_rows × ~bytes/turn ÷ ratio), so shuffle partitions
+stay bounded; the only driver-side data is the lineage summary (one row
+per partition).
 """
 
 from __future__ import annotations
