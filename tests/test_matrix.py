@@ -147,3 +147,25 @@ def test_engine_roundtrip_embeddings(spark):
             digests = d
         else:
             assert d == digests  # deterministic at any parallelism
+
+
+def test_get_row_per_entry_access():
+    """Plain-mode per-entry access must match full decode without reading
+    other rows' bytes (the reference varintDimensionGetEntry semantic)."""
+    rng = np.random.default_rng(13)
+    # adversarial full-range patterns force the plain fallback
+    adv = rng.integers(0, 2 ** 32, (200, 16), dtype=np.uint64) \
+        .astype(np.uint32).view(np.float32)
+    adv = np.nan_to_num(adv, nan=1.0, posinf=2.0, neginf=-2.0)
+    blk = matrix.encode_block(matrix.matrix_to_list(adv))
+    for i in (0, 1, 99, 199):
+        got = matrix.get_row(blk, i)
+        np.testing.assert_array_equal(adv[i].view(np.int32), got.view(np.int32))
+    with pytest.raises(IndexError):
+        matrix.get_row(blk, 200)
+    # lossless (structured) mode: falls back to decode, still exact
+    mat = _normalized(100, 8, seed=3)
+    blk2 = matrix.encode_block(matrix.matrix_to_list(mat))
+    for i in (0, 50, 99):
+        np.testing.assert_array_equal(
+            mat[i].view(np.int32), matrix.get_row(blk2, i).view(np.int32))

@@ -140,3 +140,33 @@ def encode_block(arr: pa.Array, precision: str | None = None) -> bytes:
     """Self-describing block over a no-null list<float> Arrow array."""
     mat = list_to_matrix(arr)
     return blocks.pack_block(blocks.MATRIX_F32, len(arr), encode(mat, precision))
+
+
+def get_row(block: bytes | memoryview, i: int) -> np.ndarray:
+    """Per-entry access — the reference dimension codec's defining
+    operation (varintDimensionGetEntry, src/varintDimension.c:131-353):
+    read row ``i`` of the encoded matrix touching O(dim) bytes, never the
+    whole block, in plain mode. Value (i, j) lives at flat index j*n + i
+    of the column-major payload, so a row is one strided gather over a
+    zero-copy view of the data bytes.
+
+    The f64lossy mode falls back to block decode (its sign/exponent
+    sub-blocks already support O(1) slicing via random_access.py and the
+    mantissa plane is fixed-stride, but the specials bitmap needs a rank
+    scan — a documented non-goal until a query needs it)."""
+    cid, n_rows, payload = blocks.unpack_block(block)
+    if cid != blocks.MATRIX_F32:
+        raise ValueError(f"not a matrix block: codec {cid}")
+    if not 0 <= i < n_rows:
+        raise IndexError(i)
+    mv = memoryview(payload)
+    dim, pos = blocks.take_uvarint(mv, 0)
+    mode = mv[pos]
+    pos += 1
+    if mode == _MODE_PLAIN:
+        flat = np.frombuffer(mv[pos:pos + 4 * n_rows * dim], dtype=np.float32)
+        return np.ascontiguousarray(flat[i::n_rows])  # one strided gather
+    lst = decode(payload, n_rows)
+    # flatten() honors the slice offsets (.values would return the whole
+    # child buffer)
+    return np.asarray(lst.slice(i, 1).flatten(), dtype=np.float32)
