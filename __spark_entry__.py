@@ -146,6 +146,32 @@ def _q_embedding_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("vec_id", ok.alias("within_bound"))
 
 
+def _q_elias_heavytail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elias DELTA_GAMMA through the gate (reference varintEliasGamma,
+    src/varintElias.c:88-226): a sorted stream whose deltas are mostly 3
+    with a 100000 jump every 250 values — fixed-width delta codecs pay the
+    block max (BP128) and LEB128 deltas pay ≥ 8 bits, while per-delta
+    gamma lengths cost ~5 bits (measured on this exact stream: gamma 6406 B
+    vs delta 10078 / bp128 13333 per 10k values). The oracle pins BOTH the
+    decoded values (identity) AND the selected codec name — a selector
+    regression or a gamma decode bug each hash-fail. kinds excludes the
+    constant grouping column so the top-level winner is visible (with it,
+    seg_delta wraps the same gamma stream as its nested codec)."""
+    from varint_spark.engine import EncodeOptions, decode_blocks
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.lit("all").alias("g"),
+        (F.col("event_id") * 3 + F.floor(F.col("event_id") / 250) * 100000)
+        .cast("long").alias("v"))
+    opts = EncodeOptions(num_buckets=4, chunk_rows=16_384, salt_span=65_536,
+                         group_col="g", order_col="event_id")
+    kinds = {"event_id": "int64", "v": "int64"}
+    blocks = encode_transcripts(ev, opts, kinds=kinds).cache()
+    codec = blocks.filter(F.col("column") == "v").select("codec").distinct()
+    rows = decode_blocks(blocks, "event_id long, v long", kinds=kinds)
+    return rows.crossJoin(codec)
+
+
 def _q_random_access_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point lookups into encoded blocks WITHOUT full decode (reference
     varintFORGetAt/varintPFORGetAt/varintRLEGetAt — SURVEY §2.A.5): encode
@@ -621,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_pfor_outliers": _q_pfor,
         "codec_float_lossy": _q_float_lossy,
         "codec_embedding_lossy": _q_embedding_lossy,
+        "codec_elias_heavytail": _q_elias_heavytail,
         "random_access_point": _q_random_access_point,
         "random_access_prune": _q_random_access_prune,
         "analyze_minmax_range": _q_minmax,
@@ -787,6 +814,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "codec_embedding_lossy": (
             "SELECT vec_id, TRUE AS within_bound FROM embeddings"
+        ),
+        # identity on the values AND the gate's codec choice: per-delta
+        # gamma lengths beat every fixed-width/LEB128 candidate on this
+        # deterministic heavy-tailed stream (derivation in the docstring)
+        "codec_elias_heavytail": (
+            "SELECT event_id,"
+            " CAST(event_id * 3 + (event_id // 250) * 100000 AS BIGINT) AS v,"
+            " 'delta_gamma' AS codec FROM events"
         ),
         # memcmp order over tagged-encoded (user_id, event_id) must equal
         # logical pair order — checked exhaustively, summarized in one row
