@@ -46,6 +46,11 @@ def _transcript_conversations(sf: float) -> int:
 
 
 def run_bench(encode_only: bool = False) -> dict:
+    """Best-of-N over the full query suite (N = SPARK_GRAFT_BENCH_REPEAT,
+    default 3; 2 for --encode-only scaling legs).  This VM carries ~7 cores
+    of phantom host load (CLAUDE.md) — a single pass is a coin flip, so the
+    artifact of record reports per-query best across N passes plus the
+    per-pass totals and the load average, letting a reader judge the noise."""
     from pyspark.sql import functions as F
 
     from varint_spark import transcripts
@@ -66,8 +71,12 @@ def run_bench(encode_only: bool = False) -> dict:
     tdf = tdf.repartition(int(CPUS) * 2).cache()
     n_turns = tdf.count()
 
-    queries: dict[str, float] = {}
-    extras: dict[str, float] = {}
+    extras: dict = {}
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", 0)) or (2 if encode_only else 3)
+    try:
+        extras["loadavg_start"] = round(os.getloadavg()[0], 1)
+    except OSError:
+        pass
 
     # Warm the Python workers (imports of numpy/pandas/varint_spark happen
     # once per worker): a tiny encode+decode before the timed runs. At real
@@ -76,54 +85,66 @@ def run_bench(encode_only: bool = False) -> dict:
     decode_blocks(encode_transcripts(warm.repartition(int(CPUS)), opts),
                   transcripts.TRANSCRIPT_DDL).count()
 
-    t_encode = float("inf")
-    for _ in range(2):  # best-of-2: first run still pays worker/JIT residue
-        t0 = time.time()
-        blocks = encode_transcripts(tdf, opts)
-        agg = blocks.agg(F.sum("raw_bytes").alias("raw"), F.sum("encoded_bytes").alias("enc"),
-                         F.sum("varint_bytes").alias("var")).collect()[0]
-        t_encode = min(t_encode, time.time() - t0)
-    blocks = encode_transcripts(tdf, opts).cache()
-    blocks.count()
-    queries["encode_transcripts"] = round(t_encode, 3)
-    extras["turns_per_sec"] = round(n_turns / t_encode, 1)
-    extras["n_turns"] = n_turns
-    extras["compression_ratio"] = round(agg["raw"] / agg["enc"], 3)
-    extras["vs_varint_floor"] = round(agg["var"] / agg["enc"], 3)
-
+    shared = None
     if not encode_only:
         from varint_spark.shared import build_shared_tables
 
         t0 = time.time()
         shared = spark.sparkContext.broadcast(build_shared_tables(tdf))
-        t_build = time.time() - t0
-        t0 = time.time()
-        sblocks = encode_transcripts(tdf, opts, shared=shared)
-        sagg = sblocks.agg(F.sum("encoded_bytes").alias("enc"),
-                           F.sum("raw_bytes").alias("raw")).collect()[0]
-        queries["encode_shared_tables"] = round(time.time() - t0, 3)
-        extras["shared_build_sec"] = round(t_build, 3)
-        extras["compression_ratio_shared"] = round(sagg["raw"] / sagg["enc"], 3)
+        extras["shared_build_sec"] = round(time.time() - t0, 3)
+        # cached blocks so decode passes measure decode, not a re-encode
+        blocks = encode_transcripts(tdf, opts).cache()
+        blocks.count()
+
+    best: dict[str, float] = {}
+    run_totals: list[float] = []
+    for _ in range(repeat):
+        cur: dict[str, float] = {}
 
         t0 = time.time()
-        decoded = decode_blocks(blocks, transcripts.TRANSCRIPT_DDL)
-        decoded.count()
-        queries["decode_transcripts"] = round(time.time() - t0, 3)
+        agg = encode_transcripts(tdf, opts).agg(
+            F.sum("raw_bytes").alias("raw"), F.sum("encoded_bytes").alias("enc"),
+            F.sum("varint_bytes").alias("var")).collect()[0]
+        cur["encode_transcripts"] = time.time() - t0
 
-        t0 = time.time()
-        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
-        roundtrip(ev, "user_id", "event_id", opts).count()
-        queries["roundtrip_events"] = round(time.time() - t0, 3)
+        if not encode_only:
+            t0 = time.time()
+            sagg = encode_transcripts(tdf, opts, shared=shared).agg(
+                F.sum("encoded_bytes").alias("enc"),
+                F.sum("raw_bytes").alias("raw")).collect()[0]
+            cur["encode_shared_tables"] = time.time() - t0
+            extras["compression_ratio_shared"] = round(sagg["raw"] / sagg["enc"], 3)
 
-        t0 = time.time()
-        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-        roundtrip(li, "l_orderkey", "l_linenumber", opts).count()
-        queries["roundtrip_lineitem"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            decode_blocks(blocks, transcripts.TRANSCRIPT_DDL).count()
+            cur["decode_transcripts"] = time.time() - t0
 
-        t0 = time.time()
-        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        roundtrip(docs, "lang", "doc_id", opts).count()
-        queries["roundtrip_documents"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+            roundtrip(ev, "user_id", "event_id", opts).count()
+            cur["roundtrip_events"] = time.time() - t0
+
+            t0 = time.time()
+            li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+            roundtrip(li, "l_orderkey", "l_linenumber", opts).count()
+            cur["roundtrip_lineitem"] = time.time() - t0
+
+            t0 = time.time()
+            docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            roundtrip(docs, "lang", "doc_id", opts).count()
+            cur["roundtrip_documents"] = time.time() - t0
+
+        run_totals.append(round(sum(cur.values()), 3))
+        for k, v in cur.items():
+            best[k] = min(best.get(k, float("inf")), v)
+
+    queries = {k: round(v, 3) for k, v in best.items()}
+    extras["turns_per_sec"] = round(n_turns / best["encode_transcripts"], 1)
+    extras["n_turns"] = n_turns
+    extras["compression_ratio"] = round(agg["raw"] / agg["enc"], 3)
+    extras["vs_varint_floor"] = round(agg["var"] / agg["enc"], 3)
+    extras["bench_repeat"] = repeat
+    extras["run_totals_sec"] = run_totals
 
     result = {
         "metric": "transcript encode+decode wall seconds (headline: turns_per_sec)",
