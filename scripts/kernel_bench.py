@@ -111,6 +111,39 @@ def main() -> None:
         "shingle_hash_500k_short_docs": pd.Series(
             ["short doc number %d" % i for i in range(500_000)]),
     }
+    # simhash: one corpus-plane pass (token bounds + vectorized xxhash64 +
+    # reduceat sign sums) vs the same kernels applied per document — the
+    # loop shape that (like the deleted token-explode DataFrame) pays
+    # per-document overhead regardless of size
+    sh_texts = pd.Series(["short doc number %d with a few more tokens %d"
+                          % (i, i * 7) for i in range(100_000)])
+    sh_arrow = pa_mod.array(sh_texts)
+    sh_nbytes = int(sh_texts.str.len().sum())
+
+    def simhash_plane():
+        p, o = tk.arrow_plane(sh_arrow)
+        s, ln, t = tk.token_bounds(p, o)
+        return tk.simhash_from_hashes(tk.xxhash64_strings(p, s, ln), t)[0]
+
+    def simhash_docloop():
+        p, o = tk.arrow_plane(sh_arrow)
+        two = np.array([0, 0], dtype=np.int64)
+        acc = np.int64(0)
+        for d in range(len(o) - 1):
+            sl = p[o[d]: o[d + 1]]
+            two[1] = len(sl)
+            s, ln, t = tk.token_bounds(sl, two)
+            acc ^= tk.simhash_from_hashes(tk.xxhash64_strings(sl, s, ln), t)[0][0]
+        return acc
+
+    t_plane, sh1 = _best_of(simhash_plane, reps=3)
+    t_loop, _ = _best_of(simhash_docloop, reps=1)
+    results["simhash_100k_short_docs"] = {
+        "legacy_loop_MBps": round(sh_nbytes / t_loop / 1e6, 1),
+        "plane_kernel_MBps": round(sh_nbytes / t_plane / 1e6, 1),
+        "speedup": round(t_loop / t_plane, 1),
+    }
+
     for bench_name, texts in corpora.items():
         nbytes = int(texts.str.len().sum())
 

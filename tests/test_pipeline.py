@@ -106,7 +106,7 @@ def test_token_and_quality_stats(spark, docs):
         assert by_id[r.doc_id].n_chars == len(r.text)
         import re
         from varint_spark.pipeline.textstats import BPE_PRETOKEN_RE
-        expect_bpe = len(re.findall(BPE_PRETOKEN_RE.replace("\\s", "\s"), r.text))
+        expect_bpe = len(re.findall(BPE_PRETOKEN_RE.replace("\\s", r"\s"), r.text))
         assert by_id[r.doc_id].n_bpe_pretokens == expect_bpe, r.doc_id
     qs = textstats.quality_score(docs, "doc_id", "text")
     row = qs.first()
@@ -196,3 +196,95 @@ def test_embedding_near_dup_bucket_guard(spark, embs):
     unguarded = similarity.embedding_near_dup_pairs(
         df, "vec_id", "embedding", threshold=0.999, bits=2, max_bucket_size=10_000)
     assert unguarded.count() >= 800  # without the guard it explodes (~C(41,2))
+
+
+def _explode_simhash(df, id_col, text_col, hash_mode):
+    """The pre-r4 explode + 64-signed-column SimHash, kept here as the
+    spec the corpus-plane kernel must reproduce bit for bit."""
+    def portable_token_hash(tok):
+        chars = F.transform(
+            F.sequence(F.lit(1), F.length(tok)),
+            lambda i: F.ascii(F.substr(tok, i, F.lit(1))).cast("long"))
+
+        def fold(base):
+            return F.aggregate(
+                chars, F.lit(0).cast("long"),
+                lambda a, c: (a * F.lit(base) + c) % F.lit(2147483647))
+
+        return fold(31) * F.lit(2147483648) + fold(37)
+
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    hcol = (F.xxhash64("tok") if hash_mode == "xxhash64"
+            else portable_token_hash(F.col("tok")))
+    th = tokens.withColumn("h", hcol)
+    bits = th.select(
+        id_col,
+        *[F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+          .otherwise(-1).alias(f"b{i}") for i in range(64)])
+    agg = bits.groupBy(id_col).agg(*[F.sum(f"b{i}").alias(f"b{i}") for i in range(64)])
+    return agg.select(
+        id_col,
+        sum((F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+             * F.lit(1 << i) if i < 63
+             else F.when(F.col(f"b{i}") > 0, F.lit(-(1 << 63)))
+             .otherwise(F.lit(0)).cast("long"))
+            for i in range(64)).alias("simhash"))
+
+
+@pytest.mark.parametrize("mode", ["xxhash64", "portable"])
+def test_simhash_kernel_matches_explode_reference(spark, docs, mode):
+    sub = docs.limit(120)
+    got = {r.doc_id: r.simhash
+           for r in dedup.simhash(sub, "doc_id", "text", hash_mode=mode).collect()}
+    want = {r.doc_id: r.simhash
+            for r in _explode_simhash(sub, "doc_id", "text", mode).collect()}
+    assert got == want
+
+
+@pytest.mark.parametrize("mode", ["xxhash64", "portable"])
+def test_simhash_kernel_unicode_and_edge_docs(spark, mode):
+    texts = ["héllo wörld ünïcode tökens", "日本語 テスト one two", "", "   ",
+             "\t\n\x0b\f\r mixed \t ws", "single", "a " * 300 + "b",
+             "long-token-" + "x" * 80 + " short"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r.doc_id: r.simhash
+           for r in dedup.simhash(df, "doc_id", "text", hash_mode=mode).collect()}
+    want = {r.doc_id: r.simhash
+            for r in _explode_simhash(df, "doc_id", "text", mode).collect()}
+    assert got == want
+
+
+def test_xxhash64_kernel_matches_spark(spark):
+    import pandas as pd
+    from varint_spark.pipeline import textkernels as tk
+
+    toks = [""] + ["x" * n for n in (1, 2, 3, 4, 5, 7, 8, 9, 15, 16, 17,
+                                     31, 32, 33, 63, 64, 65, 100)] \
+        + ["hello", "wörld", "日本語テスト", "The quick brown fox jumps over it",
+           bytes(range(1, 32)).decode("latin-1")]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(toks)],
+                               "i long, t string")
+    want = {r.i: r.h for r in df.select("i", F.xxhash64("t").alias("h")).collect()}
+    plane, offs = tk.to_plane(pd.Series(toks))
+    got = tk.xxhash64_strings(plane, offs[:-1].astype(np.int64),
+                              np.diff(offs).astype(np.int64)).view(np.int64)
+    assert {i: int(h) for i, h in enumerate(got)} == want
+
+
+def test_multimodal_null_payload_distinct_from_empty(spark):
+    """ADVICE r3: a NULL payload reaches the decoder as None (here: the
+    fake decoder's None branch -> all-zero features), while an EMPTY
+    payload is a real zero-length buffer (sha256(b"") -> non-zero
+    features) — the two must not collapse into one another."""
+    df = spark.createDataFrame(
+        [(1, "image", b"xx"), (2, None, b""), (3, "audio", None)],
+        "media_id long, modality string, payload binary")
+    out = multimodal.extract_features(df, feature_dim=4).collect()
+    by_id = {r.media_id: list(r.features) for r in out}
+    assert by_id[3] == [0.0, 0.0, 0.0, 0.0]
+    assert any(v != 0.0 for v in by_id[2])
+    assert any(v != 0.0 for v in by_id[1])

@@ -128,3 +128,56 @@ def test_no_per_document_python_loops_left():
         src = inspect.getsource(mod)
         assert "for t in texts" not in src
         assert "for i, t in enumerate(texts)" not in src
+
+
+# ---- whitespace-token kernels (simhash path) --------------------------------
+
+
+def test_token_bounds_matches_split():
+    import re
+
+    texts = ["hello world", "  leading", "trailing  ", "", "   ", "a",
+             "tab\tsep\nlines\x0bvt\fff\rcr", "multi   spaces", "héllo wörld",
+             "日本語 テスト mixed ascii", "x" * 100, " \t \n "]
+    plane, offs = tk.to_plane(pd.Series(texts))
+    starts, lens, toffs = tk.token_bounds(plane, offs)
+    for d, t in enumerate(texts):
+        got = [plane[starts[i]: starts[i] + lens[i]].tobytes().decode("utf-8")
+               for i in range(toffs[d], toffs[d + 1])]
+        want = [x for x in re.split("[ \t\n\x0b\f\r]+", t) if x]
+        assert got == want, (d, t)
+
+
+def test_token_bounds_empty_corpus():
+    plane, offs = tk.to_plane(pd.Series(["", ""]))
+    starts, lens, toffs = tk.token_bounds(plane, offs)
+    assert len(starts) == 0 and toffs.tolist() == [0, 0, 0]
+
+
+def test_portable_hash_strings_matches_codepoint_fold():
+    texts = ["hello", "héllo", "日本語", "a", "x" * 500, "Zz0"]
+    plane, offs = tk.to_plane(pd.Series(texts))
+    starts = offs[:-1].astype(np.int64)
+    lens = np.diff(offs).astype(np.int64)
+    got = tk.portable_hash_strings(plane, starts, lens)
+    mod = 2147483647
+
+    def fold(t, base):
+        h = 0
+        for ch in t:
+            h = (h * base + ord(ch)) % mod
+        return h
+
+    want = [fold(t, 31) * 2147483648 + fold(t, 37) for t in texts]
+    assert got.tolist() == want
+
+
+def test_simhash_from_hashes_sign_rule():
+    # 3 docs: [b1], [b1, b1, ~b1], [] -> empty doc excluded; ties -> 0 bit
+    h = np.array([0b101, 0b101, 0b101, 0b010], dtype=np.uint64)
+    toffs = np.array([0, 1, 4, 4], dtype=np.int64)
+    sh, ne = tk.simhash_from_hashes(h, toffs)
+    assert ne.tolist() == [True, True, False]
+    assert sh[0] == 0b101
+    # doc 2: bits 0,2 -> +2-1=1>0 set; bit 1 -> -2+1=-1 not set
+    assert sh[1] == 0b101

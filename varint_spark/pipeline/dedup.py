@@ -108,58 +108,46 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
-def portable_token_hash(tok: F.Column) -> F.Column:
-    """62-bit token hash from two mod-(2^31-1) polynomial folds over
-    codepoints (bases 31 and 37) — exactly reproducible in ANSI SQL
-    (DuckDB list_reduce), unlike xxhash64. All JVM-side higher-order
-    functions; byte-identical to the SQL form on any text (codepoints)."""
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length(tok)),
-        lambda i: F.ascii(F.substr(tok, i, F.lit(1))).cast("long"),
-    )
-
-    def fold(base: int) -> F.Column:
-        return F.aggregate(
-            chars, F.lit(0).cast("long"),
-            lambda a, c: (a * F.lit(base) + c) % F.lit(2147483647),
-        )
-
-    return fold(31) * F.lit(2147483648) + fold(37)
-
-
 def simhash(df: DataFrame, id_col: str, text_col: str,
             hash_mode: str = "xxhash64") -> DataFrame:
-    """64-bit SimHash from whitespace-token hashes — pure DataFrame ops:
-    explode tokens, sum signed bit contributions, reassemble the sign bits.
+    """64-bit SimHash per document, computed corpus-plane in ONE
+    mapInArrow pass: whitespace-token boundaries from the zero-copy byte
+    plane, a vectorized per-token hash, and an np.add.reduceat sign
+    reduction per document. No token explode, no token shuffle — the
+    former DataFrame shape shuffled 64 signed columns per token of the
+    corpus, which at trillion-token scale dominates the job; this shape
+    shuffles nothing (the map output is one row per document).
 
-    ``hash_mode='portable'`` swaps xxhash64 for the SQL-reproducible
-    polynomial token hash (top 2 bits always clear) so a relational oracle
-    can recompute the result; xxhash64 stays the production default."""
-    tokens = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
-    ).filter(F.length("tok") > 0)
-    hcol = (F.xxhash64("tok") if hash_mode == "xxhash64"
-            else portable_token_hash(F.col("tok")))
-    th = tokens.withColumn("h", hcol)
-    bits = th.select(
-        id_col,
-        *[
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1).alias(f"b{i}")
-            for i in range(64)
-        ],
-    )
-    agg = bits.groupBy(id_col).agg(*[F.sum(f"b{i}").alias(f"b{i}") for i in range(64)])
-    sim = agg.select(
-        id_col,
-        sum(
-            (F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long") * F.lit(1 << i) if i < 63
-             else F.when(F.col(f"b{i}") > 0, F.lit(-(1 << 63))).otherwise(F.lit(0)).cast("long"))
-            for i in range(64)
-        ).alias("simhash"),
-    )
-    return sim
+    Semantics unchanged from the explode version: tokens are maximal runs
+    of non-whitespace (Java ``\\s`` = ``[ \\t\\n\\x0B\\f\\r]``, the
+    ``split(r"\\s+")`` + length>0 boundaries); bit i of the result is 1
+    iff the signed sum of token-hash bit i over the document is > 0;
+    documents with no tokens emit no row.
+
+    ``hash_mode='xxhash64'`` (production default): exact Spark
+    ``F.xxhash64`` semantics — seed 42 over utf-8 bytes, verified
+    bit-identical in tests. ``'portable'``: the SQL-reproducible
+    polynomial fold over codepoints (textkernels.portable_hash_strings)
+    so a DuckDB oracle can recompute the result term by term."""
+    src = df.select(F.col(id_col).alias("_sh_id"), F.col(text_col).alias("text"))
+
+    def udf(iterator):
+        for tbl in iterator:
+            plane, offs = textkernels.arrow_plane(tbl.column("text"))
+            starts, lens, toffs = textkernels.token_bounds(plane, offs)
+            if hash_mode == "xxhash64":
+                h = textkernels.xxhash64_strings(plane, starts, lens)
+            else:
+                h = textkernels.portable_hash_strings(plane, starts, lens)
+            sh, ne = textkernels.simhash_from_hashes(h, toffs)
+            ids = tbl.column("_sh_id").to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids[ne], type=pa.int64()),
+                 pa.array(sh, type=pa.int64())],
+                names=["_sh_id", "simhash"])
+
+    out = src.mapInArrow(udf, "_sh_id long, simhash long")
+    return out.withColumnRenamed("_sh_id", id_col)
 
 
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str, text_col: str,

@@ -212,6 +212,204 @@ def fingerprint_per_doc(plane: np.ndarray, offsets: np.ndarray, window: int,
     return (out & _U64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
 
+# ---- whitespace-token kernels (simhash) -------------------------------------
+
+
+def _is_ws(plane: np.ndarray) -> np.ndarray:
+    # Java regex \s = [ \t\n\x0B\f\r] (bytes {9..13, 32}) — the boundaries
+    # split(r"\s+") produces. Multi-byte UTF-8 sequences never contain
+    # these byte values, so a byte-plane scan is exact on any input.
+    return ((plane >= 9) & (plane <= 13)) | (plane == 32)
+
+
+def token_bounds(plane: np.ndarray, offsets: np.ndarray
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Whitespace-token boundaries for the whole batch from the byte plane.
+
+    Returns (starts, lens, toffs[n+1]): token t occupies
+    ``plane[starts[t] : starts[t] + lens[t]]`` and document d's tokens are
+    ``toffs[d] <= t < toffs[d+1]``. Tokens are maximal runs of
+    non-whitespace bytes that never cross a document boundary; documents
+    of only whitespace contribute zero tokens (split + length>0 filter
+    semantics). All vector ops — no per-document or per-token loop.
+    """
+    N = len(plane)
+    n = len(offsets) - 1
+    if N == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, np.zeros(n + 1, dtype=np.int64)
+    sep = _is_ws(plane)
+    nonsep = ~sep
+    prev_sep = np.empty(N, dtype=bool)
+    prev_sep[0] = True
+    prev_sep[1:] = sep[:-1]
+    next_sep = np.empty(N, dtype=bool)
+    next_sep[-1] = True
+    next_sep[:-1] = sep[1:]
+    bnds = offsets[1:-1]
+    prev_sep[bnds[bnds < N]] = True       # doc start forces a token start
+    next_sep[bnds[bnds > 0] - 1] = True   # doc end forces a token end
+    starts = np.flatnonzero(nonsep & prev_sep).astype(np.int64)
+    ends = np.flatnonzero(nonsep & next_sep).astype(np.int64) + 1
+    toffs = np.searchsorted(starts, offsets).astype(np.int64)
+    return starts, ends - starts, toffs
+
+
+_M64 = (1 << 64) - 1
+_XXP1 = np.uint64(0x9E3779B185EBCA87)
+_XXP2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XXP3 = np.uint64(0x165667B19E3779F9)
+_XXP4 = np.uint64(0x85EBCA77C2B2AE63)
+_XXP5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _rotl(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _xxh64_fixed(mat: np.ndarray, L: int, seed: int) -> np.ndarray:
+    """xxHash64 of every row of an (m, L) uint8 matrix (one length bucket:
+    the algorithm's control flow depends only on L, so all m rows run the
+    identical instruction sequence, vectorized)."""
+    u8 = mat.astype(np.uint64)
+    m = mat.shape[0]
+
+    def u64(o: int) -> np.ndarray:
+        v = u8[:, o].copy()
+        for k in range(1, 8):
+            v |= u8[:, o + k] << np.uint64(8 * k)
+        return v
+
+    o = 0
+    if L >= 32:
+        v1 = np.full(m, np.uint64((seed + int(_XXP1) + int(_XXP2)) & _M64))
+        v2 = np.full(m, np.uint64((seed + int(_XXP2)) & _M64))
+        v3 = np.full(m, np.uint64(seed))
+        v4 = np.full(m, np.uint64((seed - int(_XXP1)) & _M64))
+        while o + 32 <= L:
+            v1 = _rotl(v1 + u64(o) * _XXP2, 31) * _XXP1
+            v2 = _rotl(v2 + u64(o + 8) * _XXP2, 31) * _XXP1
+            v3 = _rotl(v3 + u64(o + 16) * _XXP2, 31) * _XXP1
+            v4 = _rotl(v4 + u64(o + 24) * _XXP2, 31) * _XXP1
+            o += 32
+        h = _rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)
+        for v in (v1, v2, v3, v4):
+            h = (h ^ (_rotl(v * _XXP2, 31) * _XXP1)) * _XXP1 + _XXP4
+    else:
+        h = np.full(m, np.uint64((seed + int(_XXP5)) & _M64))
+    h = h + np.uint64(L)
+    while o + 8 <= L:
+        h = _rotl(h ^ (_rotl(u64(o) * _XXP2, 31) * _XXP1), 27) * _XXP1 + _XXP4
+        o += 8
+    if o + 4 <= L:
+        v = u8[:, o].copy()
+        for k in range(1, 4):
+            v |= u8[:, o + k] << np.uint64(8 * k)
+        h = _rotl(h ^ (v * _XXP1), 23) * _XXP2 + _XXP3
+        o += 4
+    while o < L:
+        h = _rotl(h ^ (u8[:, o] * _XXP5), 11) * _XXP1
+        o += 1
+    h ^= h >> np.uint64(33)
+    h *= _XXP2
+    h ^= h >> np.uint64(29)
+    h *= _XXP3
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def xxhash64_strings(plane: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+                     seed: int = 42) -> np.ndarray:
+    """Vectorized xxHash64 over (start, len) slices of the byte plane —
+    the exact function behind Spark's ``F.xxhash64`` on a string column
+    (seed 42 over the utf-8 bytes; verified bit-identical in tests).
+    Slices are bucketed by exact length; loops run over distinct lengths
+    and byte positions, never over tokens."""
+    out = np.zeros(len(starts), dtype=np.uint64)
+    for L in np.unique(lens):
+        idx = np.flatnonzero(lens == L)
+        L = int(L)
+        mat = plane[starts[idx, None] + np.arange(L, dtype=np.int64)] \
+            if L else np.zeros((len(idx), 0), dtype=np.uint8)
+        out[idx] = _xxh64_fixed(mat, L, seed)
+    return out
+
+
+_MODPOW_CACHE: dict[int, np.ndarray] = {}
+
+
+def _mod_pow_table(base: int, n: int, mod: int = 2147483647) -> np.ndarray:
+    """base^k mod ``mod`` for k = 0..n-1, built by vectorized doubling
+    (log2(n) array passes) and cached per base."""
+    pw = _MODPOW_CACHE.get(base)
+    if pw is None or len(pw) < n:
+        pw = np.ones(1, dtype=np.int64)
+        while len(pw) < n:
+            f = (int(pw[-1]) * base) % mod
+            pw = np.concatenate([pw, (pw * f) % mod])
+        _MODPOW_CACHE[base] = pw
+    return pw[:n]
+
+
+def portable_hash_strings(plane: np.ndarray, starts: np.ndarray,
+                          lens: np.ndarray) -> np.ndarray:
+    """The SQL-twin 62-bit token hash: two left folds
+    ``h = (h*base + codepoint) % (2^31 - 1)`` over the token's CODEPOINTS
+    (bases 31 and 37), combined as ``fold31 * 2^31 + fold37`` — exactly
+    what the DuckDB oracle's list_reduce recomputes. Non-ASCII planes are
+    decoded to a codepoint plane in one C-level pass, so the byte-vs-
+    codepoint divergence that restricts portable_window_min cannot occur.
+    """
+    n = len(starts)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    if len(plane) and int(plane.max()) > 127:
+        cps = np.frombuffer(
+            plane.tobytes().decode("utf-8", "surrogatepass").encode("utf-32-le"),
+            dtype=np.uint32).astype(np.int64)
+        char_pos = np.cumsum((plane & 0xC0) != 0x80) - 1
+        cstarts = char_pos[starts]
+        clens = char_pos[starts + lens - 1] + 1 - cstarts
+    else:
+        cps = plane.astype(np.int64)
+        cstarts, clens = starts, lens
+    seg = np.zeros(n, dtype=np.int64)
+    np.cumsum(clens[:-1], out=seg[1:])
+    total = int(seg[-1] + clens[-1])
+    within = np.arange(total, dtype=np.int64) - np.repeat(seg, clens)
+    c = cps[np.repeat(cstarts, clens) + within]
+    e = np.repeat(clens, clens) - 1 - within  # weight exponent per codepoint
+    mod = 2147483647
+    folds = []
+    for base in (31, 37):
+        pw = _mod_pow_table(base, int(clens.max()))
+        contrib = (c % mod) * pw[e] % mod  # < 2^31; token sums can't overflow
+        folds.append(np.add.reduceat(contrib, seg) % mod)
+    return folds[0] * 2147483648 + folds[1]
+
+
+def simhash_from_hashes(hashes: np.ndarray, toffs: np.ndarray
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-document 64-bit SimHash from per-token hashes: bit i of the
+    result is 1 iff the signed sum (+1 if token-hash bit i set, else −1)
+    over the document's tokens is > 0. Documents with zero tokens emit no
+    value. Returns (simhash int64 per non-empty doc, non-empty doc mask).
+    The 64-iteration loop is over BITS; each pass is one shift/mask and one
+    np.add.reduceat over the token axis — no per-document work."""
+    counts = np.diff(toffs)
+    ne = counts > 0
+    seg = toffs[:-1][ne]
+    nt = counts[ne]
+    acc = np.zeros(len(seg), dtype=np.uint64)
+    if len(seg):
+        h = hashes if hashes.dtype == np.uint64 else hashes.view(np.uint64)
+        for i in range(64):
+            ones = np.add.reduceat(
+                ((h >> np.uint64(i)) & np.uint64(1)).astype(np.int64), seg)
+            acc |= (2 * ones > nt).astype(np.uint64) << np.uint64(i)
+    return acc.view(np.int64), ne
+
+
 # ---- portable (SQL-expressible) modular variant -----------------------------
 
 PORTABLE_MOD = np.int64(2147483647)  # 2^31 - 1
