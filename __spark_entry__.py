@@ -284,7 +284,9 @@ def _q_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (codec, values, raw, encoded) rows are a CONSTANT the SQL oracle can
     state outright:
 
-    * ``const_i`` (one distinct value) → 1-entry dict, 0-bit indices: 6 B
+    * ``const_i`` (one distinct value) → FOR, width 0 (min + zero-bit
+      offsets): 5 B — it beats the 1-entry dict's 6 B now that FOR is
+      never truncated out of the candidate list (ADVICE r3)
     * ``g`` / ``lowcard`` (1 / 8 distinct strings) → dict_str
     * ``seq`` (sequential ints, delta ≡ 1) → bp128_delta (width-0 blocks)
     * ``noise`` (full-range 64-bit values) → no structure; the cost gate
@@ -616,7 +618,7 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order is partition-order-dependent) — oracle reproduces it exactly
     dups = embs.filter(F.col("vec_id") < 20).withColumn(
         "vec_id", F.col("vec_id") + 1_000_000)
-    # dim passed explicitly: skips the fallback df.first() probe job
+    # dim is read from the Arrow batches; passing it asserts the width
     return similarity.embedding_near_dup_pairs(embs.union(dups), "vec_id",
                                                "embedding", threshold=0.999,
                                                bits=6, dim=64)
@@ -724,8 +726,8 @@ def _lsh_oracle(bits: int = 4, dim: int = 64, seed: int = 42) -> str:
 
 
 def _duck_poly_fold(expr: str, base: int, length_expr: str) -> str:
-    """DuckDB mirror of dedup.portable_token_hash's fold: left fold of
-    (a*base + codepoint) % (2^31-1) over the codepoints of ``expr``."""
+    """DuckDB mirror of textkernels.portable_hash_strings' fold: left fold
+    of (a*base + codepoint) % (2^31-1) over the codepoints of ``expr``."""
     chars = (f"list_transform(range({length_expr}),"
              f" i -> CAST(ascii(substr({expr}, CAST(i + 1 AS INT), 1)) AS BIGINT))")
     return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), {chars}),"
@@ -834,8 +836,8 @@ def oracle_sql() -> dict[str, str]:
         # the blocks-deterministic-at-any-parallelism invariant
         "encode_stats_transcripts": (
             "SELECT * FROM (VALUES"
-            " ('const_i', 'dict_int',    CAST(4096 AS BIGINT), CAST(32768 AS BIGINT), CAST(6 AS BIGINT)),"
-            " ('g',       'dict_str',    CAST(4096 AS BIGINT), CAST(20480 AS BIGINT), CAST(15 AS BIGINT)),"
+            " ('const_i', 'for',         CAST(4096 AS BIGINT), CAST(32768 AS BIGINT), CAST(5 AS BIGINT)),"
+            " ('g',       'dict_str',    CAST(4096 AS BIGINT), CAST(20480 AS BIGINT), CAST(14 AS BIGINT)),"
             " ('lowcard', 'dict_str',    CAST(4096 AS BIGINT), CAST(36864 AS BIGINT), CAST(1597 AS BIGINT)),"
             " ('noise',   'plain_int',   CAST(4096 AS BIGINT), CAST(32768 AS BIGINT), CAST(32771 AS BIGINT)),"
             " ('seq',     'bp128_delta', CAST(4096 AS BIGINT), CAST(32768 AS BIGINT), CAST(1110 AS BIGINT))"

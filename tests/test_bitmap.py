@@ -155,3 +155,24 @@ def test_distributed_build_matches_local_encode(spark):
             assert built[k] == expected[k], (parts, k)
             np.testing.assert_array_equal(
                 decode(built[k]), np.unique(ids[keys == k]).astype(np.uint64))
+
+
+def test_build_bitmaps_null_key_raises(spark):
+    import pytest
+
+    from varint_spark.bitmap_index import build_bitmaps
+
+    df = spark.createDataFrame([("a", 1), (None, 2)], "k string, id long")
+    with pytest.raises(Exception, match="null"):
+        build_bitmaps(df, "k", "id").collect()
+
+
+def test_build_bitmaps_int_keys(spark):
+    from varint_spark.bitmap_index import build_bitmaps
+    from varint_spark.codecs import bitmap
+
+    df = spark.createDataFrame([(k, k * 10 + i) for k in (1, 2) for i in range(5)],
+                               "k long, id long")
+    out = {r.k: r.bitmap for r in build_bitmaps(df, "k", "id").collect()}
+    assert set(out) == {1, 2}
+    assert bitmap.decode(out[2]).tolist() == [20, 21, 22, 23, 24]

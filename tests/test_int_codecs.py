@@ -320,3 +320,17 @@ def test_bp128_get_range_touches_only_covering_blocks():
     for start, n in spans:
         np.testing.assert_array_equal(bp128.get_range(buf, len(v), start, n),
                                       v[start:start + n], (start, n))
+
+
+def test_candidate_list_never_drops_for():
+    """ADVICE r3: when the run/cardinality/sorted/outlier branches all
+    fire, the candidate list must still include FOR and PFOR (an earlier
+    [:5] cap silently dropped them exactly then)."""
+    from varint_spark import selector
+
+    s = selector.IntStats(count=1000, min=0, max=1 << 40, is_sorted=True,
+                          run_ratio=0.1, unique_ratio=0.01, avg_delta=1.0,
+                          outlier_ratio=0.01)
+    cands = selector.candidate_int_codecs(s)
+    assert selector.FOR in cands and selector.PFOR in cands
+    assert selector.ELIAS_GAMMA in cands

@@ -169,3 +169,18 @@ def test_get_row_per_entry_access():
     for i in (0, 50, 99):
         np.testing.assert_array_equal(
             mat[i].view(np.int32), matrix.get_row(blk2, i).view(np.int32))
+
+
+def test_null_elements_inside_rows_raise():
+    import pyarrow as pa
+    import pytest
+
+    from varint_spark.codecs import matrix
+
+    arr = pa.array([[1.0, 2.0], [3.0, None]], type=pa.list_(pa.float32()))
+    with pytest.raises(ValueError, match="null elements"):
+        matrix.list_to_matrix(arr)
+    # similarity's zero-copy twin enforces the same contract
+    from varint_spark.pipeline.similarity import list_matrix
+    with pytest.raises(ValueError, match="null elements"):
+        list_matrix(arr)

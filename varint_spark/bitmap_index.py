@@ -40,11 +40,21 @@ def _encode_partials(key_col: str, id_col: str):
 
     def fn(iterator):
         acc: dict = {}  # key -> list[np.ndarray of ids]
+        key_type = None
         for batch in iterator:
             keys = batch.column(key_col)
+            ids_col = batch.column(id_col)
+            if keys.null_count or ids_col.null_count:
+                # fail loudly: a null key has no bitmap identity and a null
+                # id has no bit position — np.asarray would read them as
+                # garbage (ADVICE r3); callers drop/fill nulls explicitly
+                raise ValueError(
+                    f"build_bitmaps: null {key_col!r} keys or {id_col!r} ids "
+                    "are not representable — dropna()/fillna() upstream")
+            key_type = keys.type
             d = pc.dictionary_encode(keys)
             idx = np.asarray(d.indices)
-            ids = np.asarray(batch.column(id_col))
+            ids = np.asarray(ids_col)
             for j, k in enumerate(d.dictionary.to_pylist()):
                 sel = ids[idx == j]
                 if len(sel):
@@ -52,7 +62,7 @@ def _encode_partials(key_col: str, id_col: str):
         for k in sorted(acc):
             u = np.unique(np.concatenate(acc[k])).astype(np.uint64)
             yield pa.RecordBatch.from_arrays(
-                [pa.array([k], type=pa.string()),
+                [pa.array([k], type=key_type),
                  pa.array([bitmap.encode(u)], type=pa.binary())],
                 names=[key_col, "bitmap"],
             )
@@ -78,13 +88,15 @@ def _merge_partials(key, table):
 def build_bitmaps(df: DataFrame, key_col: str, id_col: str,
                   num_partitions: int | None = None) -> DataFrame:
     """DataFrame[key_col, id_col] -> DataFrame[key_col, bitmap:binary] with
-    one canonical serialized bitmap per key, built fully distributed."""
+    one canonical serialized bitmap per key, built fully distributed.
+    The key keeps its input type (string/int/date/…); null keys or ids
+    raise — drop or fill them upstream."""
+    key_ddl = df.schema[key_col].dataType.simpleString()
+    out_ddl = f"{key_col} {key_ddl}, bitmap binary"
     src = df.select(key_col, id_col)
     if num_partitions:
         src = src.repartition(num_partitions, key_col, id_col)
     else:
         src = src.repartition(key_col, id_col)
-    partials = src.mapInArrow(
-        _encode_partials(key_col, id_col), f"{key_col} string, bitmap binary")
-    return partials.groupBy(key_col).applyInArrow(
-        _merge_partials, f"{key_col} string, bitmap binary")
+    partials = src.mapInArrow(_encode_partials(key_col, id_col), out_ddl)
+    return partials.groupBy(key_col).applyInArrow(_merge_partials, out_ddl)

@@ -61,7 +61,10 @@ LOSSLESS = "high"
 
 def list_to_matrix(arr: pa.Array) -> np.ndarray:
     """Zero-copy (n, dim) float32 view of an Arrow list<float> array with
-    no null rows; raises on ragged widths (embeddings are fixed-dim)."""
+    no null rows; raises on ragged widths (embeddings are fixed-dim) and
+    on null ELEMENTS inside a row — np.asarray would silently turn those
+    into NaN, breaking the codec's bit-exact lossless contract (null ROWS
+    are the nullable wrapper's job; null elements have no representation)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
@@ -72,8 +75,13 @@ def list_to_matrix(arr: pa.Array) -> np.ndarray:
     dim = int(widths[0])
     if not (widths == dim).all():
         raise ValueError("ragged embedding column (list widths differ)")
-    child = np.asarray(arr.values)
-    return child[offsets[0]:offsets[-1]].reshape(n, dim)
+    child = arr.values.slice(int(offsets[0]), int(offsets[-1] - offsets[0]))
+    if child.null_count:
+        raise ValueError(
+            "null elements inside list<float> rows — no lossless "
+            "representation (they would decode as NaN); clean the column "
+            "or use the nullable row wrapper")
+    return np.asarray(child).reshape(n, dim)
 
 
 def matrix_to_list(mat: np.ndarray) -> pa.Array:

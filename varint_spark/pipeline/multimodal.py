@@ -66,6 +66,8 @@ def _fake_decode(payload, modality: str) -> np.ndarray:
     feature vector derived from the payload digest. A real deployment
     replaces this via :func:`set_decoder` (e.g. PIL decode + resize +
     channel means; librosa MFCCs; frame-sampled video embeddings)."""
+    if payload is None:
+        return np.zeros(1, dtype=np.float64)  # null payload -> zero features
     h = hashlib.sha256(payload).digest()
     return np.frombuffer(h, dtype=np.uint8).astype(np.float64) / 255.0
 
@@ -74,9 +76,14 @@ _DECODER = _fake_decode
 
 
 def set_decoder(fn) -> None:
-    """Swap in a real decoder: fn(payload: bytes-like, modality: str) ->
-    np.ndarray (payload arrives as a zero-copy memoryview; wrap in
-    bytes() if the target library insists on bytes)."""
+    """Swap in a real decoder: fn(payload, modality) -> np.ndarray.
+
+    ``payload`` arrives as a zero-copy memoryview of the Arrow data buffer
+    (wrap in bytes() if the target library insists on bytes) — except for
+    a NULL payload row, which arrives as ``None`` (NOT an empty
+    memoryview: a zero-length payload and a null payload are distinct;
+    ADVICE r3). ``modality`` is the row's modality string, or ``None`` if
+    that column is null."""
     global _DECODER
     _DECODER = fn
 
@@ -107,12 +114,22 @@ def extract_features(df: DataFrame, feature_dim: int = 32) -> DataFrame:
                 data = memoryview(pay.buffers()[2])
             else:
                 offs, data = np.zeros(1, dtype=np.int32), memoryview(b"")
+            # null payload rows reach the decoder as None (a zero-length
+            # slice would be indistinguishable from a genuinely empty
+            # payload — ADVICE r3); null modality likewise maps to None
+            pay_null = (np.asarray(pay.is_null()) if n and pay.null_count
+                        else np.zeros(n, dtype=bool))
             d = pc.dictionary_encode(tbl.column("modality"))
-            mod_idx = np.asarray(d.indices)
+            idx_arr = d.indices
+            if idx_arr.null_count:
+                idx_arr = idx_arr.fill_null(-1)
+            mod_idx = np.asarray(idx_arr)
             mods = d.dictionary.to_pylist()  # distinct modalities only
             feats = np.zeros((n, feature_dim), dtype=np.float64)
             for i in range(n):
-                v = _DECODER(data[offs[i]:offs[i + 1]], mods[mod_idx[i]])
+                pl = None if pay_null[i] else data[offs[i]:offs[i + 1]]
+                m = mods[mod_idx[i]] if mod_idx[i] >= 0 else None
+                v = _DECODER(pl, m)
                 feats[i, : min(feature_dim, len(v))] = v[:feature_dim]
             offsets = pa.array(np.arange(n + 1, dtype=np.int32) * feature_dim,
                                type=pa.int32())

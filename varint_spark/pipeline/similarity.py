@@ -38,8 +38,11 @@ def list_matrix(col, expect_dim: int | None = None) -> "np.ndarray":
         raise ValueError("ragged embedding column (list widths differ)")
     if expect_dim is not None and dim != expect_dim:
         raise ValueError(f"embedding dim {dim} != expected {expect_dim}")
-    child = np.asarray(col.values)  # flat child buffer, zero-copy
-    return child[offsets[0]:offsets[-1]].reshape(n, dim)
+    child = col.values.slice(int(offsets[0]), int(offsets[-1] - offsets[0]))
+    if child.null_count:
+        raise ValueError("null elements inside embedding rows — np.asarray "
+                         "would silently read them as NaN; clean the column")
+    return np.asarray(child).reshape(n, dim)  # zero-copy view
 
 
 def _dot(a, b):
@@ -101,6 +104,44 @@ def lsh_cosine_topk(df: DataFrame, id_col: str, vec_col: str, query: list[float]
     return cosine_topk(bucketed.filter(F.col("bucket") == q_bucket), id_col, vec_col, query, k)
 
 
+def lsh_buckets(df: DataFrame, id_col: str, vec_col: str, bits: int = 6,
+                seed: int = 42, dim: int | None = None,
+                out_col: str = "bucket") -> DataFrame:
+    """Random-hyperplane bucket per row in ONE vectorized Arrow pass over
+    the zero-copy (n, dim) view. ``dim`` is read from the first non-empty
+    batch (ArrayType carries no width), so no driver-side probe job runs.
+    Planes are a pure function of (seed, dim) and the per-bit row
+    reduction keeps fp association order fixed per row, so buckets are
+    deterministic across batch sizes and parallelism. Pass ``dim`` to
+    additionally assert the expected width (fails loudly on mismatch)."""
+    import pyarrow as pa
+
+    def udf(iterator):
+        planes = None
+        for tbl in iterator:
+            vecs = list_matrix(tbl.column(vec_col), expect_dim=dim)
+            if len(vecs) == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [tbl.column(id_col), tbl.column(vec_col),
+                     pa.array(np.empty(0, dtype=np.int64))],
+                    names=[id_col, vec_col, out_col])
+                continue
+            if planes is None:
+                planes = np.random.default_rng(seed).standard_normal(
+                    (bits, vecs.shape[1]))
+            v = vecs.astype(np.float64)
+            bucket = np.zeros(len(v), dtype=np.int64)
+            for i in range(bits):
+                bucket = bucket * 2 + ((v * planes[i]).sum(axis=1) >= 0)
+            yield pa.RecordBatch.from_arrays(
+                [tbl.column(id_col), tbl.column(vec_col),
+                 pa.array(bucket, type=pa.int64())],
+                names=[id_col, vec_col, out_col])
+
+    return df.select(id_col, vec_col).mapInArrow(
+        udf, f"{id_col} long, {vec_col} array<float>, {out_col} long")
+
+
 def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                              threshold: float = 0.95, bits: int = 6,
                              seed: int = 42, dim: int | None = None,
@@ -114,13 +155,10 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     hashing together) whose self-join would go quadratic — the same skew
     guard as the minhash path (dedup.minhash_lsh_pairs).
 
-    Pass ``dim`` explicitly in production: ArrayType carries no width, so
-    the ``None`` fallback costs one extra one-row probe job."""
-    if dim is None:
-        first = df.select(vec_col).first()
-        dim = len(first[0])
-    bucketed = hyperplane_signs(df, vec_col, dim, bits, seed).select(
-        F.col(id_col), F.col(vec_col), F.col("bucket"))
+    Buckets come from :func:`lsh_buckets` — dim is read from the Arrow
+    batches, so omitting ``dim`` no longer costs a probe job; passing it
+    asserts the expected width."""
+    bucketed = lsh_buckets(df, id_col, vec_col, bits, seed, dim)
     w_b = Window.partitionBy("bucket")
     bucketed = bucketed.withColumn("_bsz", F.count("*").over(w_b)) \
         .filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")

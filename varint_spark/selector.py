@@ -103,8 +103,11 @@ _INT_DECODERS = {
 
 def candidate_int_codecs(s: IntStats) -> list[int]:
     """Ordered decision tree — same shape as the reference's
-    (src/varintAdaptive.c:244-310), nominating up to 3 candidates for the
-    cost gate."""
+    (src/varintAdaptive.c:244-310), nominating candidates for the cost
+    gate. Every nominee is sized (the sizers are cheap analytic passes) —
+    an earlier [:5] cap could drop FOR/PFOR exactly when the run,
+    cardinality and sorted branches all fired, silently regressing size
+    (ADVICE r3); the full list is at most 8 entries."""
     cands: list[int] = []
     if s.run_ratio < 0.5:
         cands.append(RLE_INT)
@@ -124,7 +127,7 @@ def candidate_int_codecs(s: IntStats) -> list[int]:
             cands.append(ELIAS_GAMMA)  # same regime as PFOR, but bit-exact
             #                            per-value lengths (ref varintElias)
     cands.append(FOR)
-    return cands[:5]
+    return cands
 
 
 _INT_SIZERS = {
