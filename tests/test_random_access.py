@@ -96,3 +96,100 @@ def test_rle_and_dict_get_range():
         for start, n in [(0, 1), (17, 500), (len(ref) - 3, 3), (42, 0)]:
             np.testing.assert_array_equal(random_access.get_range(blk, start, n),
                                           ref[start:start + n])
+
+
+# ---- encoded-form predicate evaluation (filter_ge / take_mask) --------------
+
+
+def _forced_block(mod, cid, v):
+    from varint_spark.codecs import blocks as B
+    return B.pack_block(cid, len(v), mod.encode(v))
+
+
+def test_filter_ge_parity_all_codecs():
+    from varint_spark import selector
+    from varint_spark.codecs import random_access as ra
+
+    rng = np.random.default_rng(7)
+    cases = [
+        rng.integers(1000, 5000, 4000, dtype=np.int64),             # FOR
+        np.where(rng.random(4000) < 0.01,
+                 rng.integers(0, 1 << 40, 4000, dtype=np.int64),
+                 rng.integers(1000, 2000, 4000, dtype=np.int64)),   # PFOR
+        np.int64(1e12) + np.cumsum(rng.integers(-50, 60, 4000,
+                                                dtype=np.int64)),   # BP128
+        np.repeat(rng.integers(-5, 5, 100, dtype=np.int64), 40),    # RLE
+        rng.choice(np.array([3, -9, 77, 1 << 33], dtype=np.int64),
+                   4000),                                           # DICT
+        rng.integers(-10**9, 10**9, 4000, dtype=np.int64),
+    ]
+    for v in cases:
+        blk = selector.encode_int_block(v)
+        for c in [int(v.min()) - 1, int(v.min()), int(np.median(v)),
+                  int(v.max()), int(v.max()) + 1, 0, -1]:
+            mask = ra.filter_ge(blk, c)
+            assert np.array_equal(mask, v >= c), (selector.codec_name_of(blk), c)
+            assert np.array_equal(ra.take_mask(blk, mask), v[v >= c])
+
+
+def test_filter_ge_nullable_rows_are_false():
+    import pyarrow as pa
+
+    from varint_spark import selector
+    from varint_spark.codecs import random_access as ra
+
+    vals = pa.array([1, None, 5, 7, None, 2], type=pa.int64())
+    blk = selector.encode_column(vals, "int")
+    assert ra.filter_ge(blk, 3).tolist() == [False, False, True, True, False, False]
+
+
+def test_filter_ge_never_fully_decodes(monkeypatch):
+    """The VERDICT r3 #4 guarantee: for FOR/PFOR/BP128/RLE/DICT the
+    predicate and the masked gather run on the encoded form — the full
+    block decoder is never invoked. The DELTA fallback (inherently
+    sequential) proves the monkeypatch actually bites."""
+    import pytest
+
+    from varint_spark import selector
+    from varint_spark.codecs import blocks as B, bp128, delta, foref, pfor
+    from varint_spark.codecs import random_access as ra
+
+    def boom(*a, **k):
+        raise AssertionError("full block decode invoked")
+
+    monkeypatch.setattr(selector, "decode_int_block", boom)
+
+    rng = np.random.default_rng(11)
+    sorted_vals = np.sort(rng.integers(0, 10**7, 4096, dtype=np.int64))
+    for mod, cid in [(foref, B.FOR), (pfor, B.PFOR), (bp128, B.BP128_DELTA)]:
+        blk = _forced_block(mod, cid, sorted_vals)
+        c = int(np.median(sorted_vals))
+        mask = ra.filter_ge(blk, c)
+        assert np.array_equal(mask, sorted_vals >= c)
+        assert np.array_equal(ra.take_mask(blk, mask), sorted_vals[sorted_vals >= c])
+
+    blk = _forced_block(delta, B.DELTA, sorted_vals)
+    with pytest.raises(AssertionError, match="full block decode"):
+        ra.filter_ge(blk, 5)
+
+
+def test_bp128_filter_unpacks_only_straddling_blocks(monkeypatch):
+    """Sorted data, c at the midpoint: the per-block header bounds resolve
+    almost every 128-block without touching its data bytes."""
+    from varint_spark.codecs import bp128
+
+    unpacked = []
+    real = bp128._unpack_rows
+
+    def counting(data, w, c):
+        unpacked.append(1)
+        return real(data, w, c)
+
+    monkeypatch.setattr(bp128, "_unpack_rows", counting)
+    v = np.arange(0, 4096 * 1000, 1000, dtype=np.int64)  # sorted, width ~11
+    payload = bp128.encode(v)
+    c = int(v[len(v) // 2])
+    mask = bp128.filter_ge(payload, len(v), c)
+    assert np.array_equal(mask, v >= c)
+    n_blocks = (len(v) + 127) // 128
+    assert len(unpacked) < n_blocks // 4, (len(unpacked), n_blocks)

@@ -218,3 +218,48 @@ def get_range(payload: memoryview | bytes, count: int, start: int, n: int) -> np
         filled += c + 1
     lo = start - b0 * BLOCK
     return out[lo : lo + n]
+
+
+def filter_ge(payload: memoryview | bytes, count: int, c: int) -> np.ndarray:
+    """``v >= c`` per value, decoding ONLY the 128-value blocks whose
+    conservative value bounds straddle ``c`` — the encoded-form predicate
+    path (reference partial-decode surface, src/varintFOR.c:597 decode-
+    only-needed-blocks applied to the predicate itself).
+
+    A width-w zigzag delta is bounded by 2^(w-1), so block i's values lie
+    within ``first_i ± stored_i * 2^(w_i - 1)`` — resolvable from the tiny
+    header arrays alone. Blocks entirely >= c (or entirely < c) never
+    touch their data bytes; only straddling blocks unpack."""
+    if count == 0:
+        return np.zeros(0, dtype=bool)
+    mv = memoryview(payload)
+    firsts_sub, pos = blocks.take_sub(mv, 0)
+    n_blocks, counts = _layout(count)
+    firsts = foref.decode(firsts_sub, n_blocks)
+    widths = np.frombuffer(mv[pos: pos + n_blocks], dtype=np.uint8).astype(np.int64)
+    sizes = (counts * widths + 7) // 8
+    offs = np.zeros(n_blocks, dtype=np.int64)
+    np.cumsum(sizes[:-1], out=offs[1:])
+    data = np.frombuffer(mv[pos + n_blocks:], dtype=np.uint8)
+    out = np.empty(count, dtype=bool)
+    c = int(c)
+    for bi in range(n_blocks):  # loop over 128-value blocks, not values
+        first, w, nd = int(firsts[bi]), int(widths[bi]), int(counts[bi])
+        spread = (nd << (w - 1)) if w else 0  # python ints: no overflow
+        s = bi * BLOCK
+        e = min(s + BLOCK, count)
+        if first - spread >= c:
+            out[s:e] = True
+        elif first + spread < c:
+            out[s:e] = False
+        else:
+            rows = data[offs[bi]: offs[bi] + sizes[bi]][None, :]
+            zz = (_unpack_rows(rows, w, nd)[0] if w
+                  else np.zeros(nd, dtype=np.uint64))
+            vals = np.empty(nd + 1, dtype=np.int64)
+            vals[0] = first
+            if nd:
+                np.cumsum(zigzag.decode(zz), out=vals[1:])
+                vals[1:] += vals[0]
+            out[s:e] = vals >= c
+    return out

@@ -21,8 +21,9 @@ from __future__ import annotations
 import numpy as np
 
 from . import bitpack, blocks, delta, leb128, zigzag
-from .blocks import (BP128_DELTA, DELTA, DICT_INT, FOR, LEB128_ZZ, PFOR,
-                     PLAIN_INT, RLE_INT, SEG_DELTA)
+from .blocks import (BP128_DELTA, DELTA, DELTA_GAMMA, DICT_INT, ELIAS_DELTA,
+                     ELIAS_GAMMA, FOR, LEB128_ZZ, PFOR, PLAIN_INT, RLE_INT,
+                     SEG_DELTA)
 
 
 def _unpack_range(buf: np.ndarray, width: int, start: int, n: int) -> np.ndarray:
@@ -179,8 +180,10 @@ def get_at(block: bytes | memoryview, idx: int) -> int:
         # O(1) per 128-value block (ref src/varintBP128.h:24)
         from . import bp128
         return int(bp128.get_range(payload, count, idx, 1)[0])
-    if cid in (DELTA, SEG_DELTA, LEB128_ZZ):
-        # whole-chunk prefix-sum codecs are inherently sequential: full decode
+    if cid in (DELTA, SEG_DELTA, LEB128_ZZ, ELIAS_GAMMA, DELTA_GAMMA,
+               ELIAS_DELTA):
+        # whole-chunk prefix-sum / bitstream codecs are inherently
+        # sequential: full decode
         from ..selector import decode_int_block
         return int(decode_int_block(block)[idx])
     raise ValueError(f"get_at: unsupported codec {cid}")
@@ -208,3 +211,133 @@ def get_range(block: bytes | memoryview, start: int, n: int) -> np.ndarray:
         return bp128.get_range(payload, count, start, n)
     from ..selector import decode_int_block
     return decode_int_block(block)[start : start + n]
+
+
+# ---- encoded-form predicate evaluation (v >= c) -----------------------------
+
+
+def _packed_ge(body: np.ndarray, width: int, count: int, cp: int) -> np.ndarray:
+    """``offset >= cp`` over an LSB-first packed stream, bit-sliced: an
+    MSB-down greater/equal automaton over the ``width`` bit planes. The
+    offsets are never reconstructed (no horner sum, no +min rebase) —
+    exactly the "compare against the packed form" path a fixed-stride FOR
+    body admits (reference partial-decode surface src/varintFOR.c:182-201).
+    """
+    if cp <= 0:
+        return np.ones(count, dtype=bool)
+    if width == 0 or cp >= (1 << width):
+        return np.zeros(count, dtype=bool)
+    bits = np.unpackbits(body[: bitpack.packed_size(count, width)],
+                         bitorder="little")[: count * width].reshape(count, width)
+    greater = np.zeros(count, dtype=bool)
+    equal = np.ones(count, dtype=bool)
+    for k in range(width - 1, -1, -1):  # loop over bit planes, not values
+        b = bits[:, k].astype(bool)
+        if (cp >> k) & 1:
+            equal &= b
+        else:
+            greater |= equal & b
+    return greater | equal
+
+
+def for_filter_ge(payload: memoryview | bytes, count: int, c: int) -> np.ndarray:
+    """FOR: rebase c by the block min, compare bit-sliced planes."""
+    mv = memoryview(payload)
+    mn_zz, pos = blocks.take_uvarint(mv, 0)
+    mn = int(zigzag.decode(np.array([mn_zz], dtype=np.uint64))[0])
+    width = mv[pos]
+    body = np.frombuffer(mv[pos + 1:], dtype=np.uint8)
+    return _packed_ge(body, width, count, int(c) - mn)
+
+
+def pfor_filter_ge(payload: memoryview | bytes, count: int, c: int) -> np.ndarray:
+    """PFOR: bit-sliced body compare + exception patch (the exception
+    positions' body bits are placeholders; their true offsets live in the
+    LEB128 exception stream, compared directly)."""
+    mn, width, mv, body_start = _pfor_parts(payload)
+    body = np.frombuffer(mv[body_start: body_start + bitpack.packed_size(count, width)],
+                         dtype=np.uint8)
+    cp = int(c) - mn
+    out = _packed_ge(body, width, count, cp)
+    exc_pos, exc_vals = _pfor_exceptions(mv, body_start, count, width)
+    if len(exc_pos):
+        if cp <= 0:
+            out[exc_pos] = True
+        elif cp >= 1 << 64:
+            out[exc_pos] = False
+        else:
+            out[exc_pos] = exc_vals >= np.uint64(cp)
+    return out
+
+
+def filter_ge(block: bytes | memoryview, c: int) -> np.ndarray:
+    """Boolean mask ``v >= c`` evaluated on the ENCODED form wherever the
+    layout admits it — the within-chunk predicate-pushdown surface:
+
+    * PLAIN — zero-copy int64 view compare (nothing to decode)
+    * FOR / PFOR — bit-sliced packed-offset compare (values never rebuilt)
+    * BP128 — per-128-block header bounds; only straddling blocks unpack
+    * RLE — compare the run VALUES (O(runs)), expand booleans
+    * DICT — compare the dictionary (O(uniq)), gather through the codes
+    * NULLABLE — inner mask scattered over the validity bitmap (null rows
+      are False: SQL ``NULL >= c`` filters out)
+    * DELTA / SEG_DELTA / LEB128_ZZ — inherently sequential: full decode
+      (the documented fallback, same as get_range)
+    """
+    cid, count, payload = blocks.unpack_block(block)
+    if cid == blocks.NULLABLE:
+        bitmap_len = bitpack.packed_size(count, 1)
+        valid = bitpack.unpack(np.frombuffer(payload[:bitmap_len], dtype=np.uint8),
+                               1, count).astype(bool)
+        inner = filter_ge(payload[bitmap_len:], c)
+        out = np.zeros(count, dtype=bool)
+        out[valid] = inner
+        return out
+    if cid == PLAIN_INT:
+        return np.frombuffer(payload, dtype="<i8", count=count) >= np.int64(c)
+    if cid == FOR:
+        return for_filter_ge(payload, count, c)
+    if cid == PFOR:
+        return pfor_filter_ge(payload, count, c)
+    if cid == BP128_DELTA:
+        from . import bp128
+        return bp128.filter_ge(payload, count, c)
+    if cid == RLE_INT:
+        mv = memoryview(payload)
+        n_runs, pos = blocks.take_uvarint(mv, 0)
+        rest = np.frombuffer(mv[pos:], dtype=np.uint8)
+        ends = np.flatnonzero((rest & 0x80) == 0)
+        len_end = int(ends[n_runs - 1]) + 1
+        lengths = leb128.decode(rest[:len_end], n_runs).astype(np.int64)
+        vals = zigzag.decode(leb128.decode(rest[len_end:], n_runs))
+        return np.repeat(vals >= np.int64(c), lengths)
+    if cid == DICT_INT:
+        mv = memoryview(payload)
+        n_uniq, pos = blocks.take_uvarint(mv, 0)
+        rest = np.frombuffer(mv[pos:], dtype=np.uint8)
+        ends = np.flatnonzero((rest & 0x80) == 0)
+        dict_end = int(ends[n_uniq - 1]) + 1
+        uniq_ge = delta.decode(rest[:dict_end], n_uniq) >= np.int64(c)
+        width = int(rest[dict_end])
+        if width == 0:
+            return np.full(count, bool(uniq_ge[0]))
+        codes = _unpack_range(rest[dict_end + 1:], width, 0, count).astype(np.int64)
+        return uniq_ge[codes]
+    from ..selector import decode_int_block
+    return decode_int_block(block) >= np.int64(c)
+
+
+def take_mask(block: bytes | memoryview, mask: np.ndarray) -> np.ndarray:
+    """Values at mask-selected positions, decoding only the covering
+    ranges: contiguous selected runs become get_range calls (for FOR/PFOR/
+    DICT that touches only the runs' packed bits; range predicates over
+    ordered data select few runs). Stream codecs fall back to full decode
+    inside get_range, as documented there."""
+    idx = np.flatnonzero(mask)
+    if len(idx) == 0:
+        return np.empty(0, dtype=np.int64)
+    breaks = np.flatnonzero(np.diff(idx) > 1)
+    starts = idx[np.concatenate([[0], breaks + 1])]
+    ends = idx[np.concatenate([breaks, [len(idx) - 1]])] + 1
+    return np.concatenate([get_range(block, int(s), int(e - s))
+                           for s, e in zip(starts, ends)])

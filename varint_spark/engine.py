@@ -353,6 +353,62 @@ def decode_blocks(blocks: DataFrame, schema_ddl: str, kinds: dict[str, str] | No
     return blocks.groupBy("part_key", "chunk_id").applyInArrow(fn, schema_ddl)
 
 
+def make_decode_where_udf(kinds: dict[str, str], out_cols: list[str],
+                          filter_col: str, lo: int):
+    from .codecs import random_access
+    from .codecs.blocks import INT_CODECS
+
+    def decode_group(key, table):
+        names = table.column("column").to_pylist()
+        blks = table.column("block").to_pylist()
+        by_col = dict(zip(names, blks))
+        # the predicate runs against the ENCODED block — packed-offset
+        # compares for FOR/PFOR, header-bound 128-block pruning for BP128;
+        # surviving chunks are never fully decoded
+        mask = random_access.filter_ge(by_col[filter_col], lo)
+        pamask = None
+        arrays = []
+        for col in out_cols:
+            blk = by_col[col]
+            if blk[0] in INT_CODECS:
+                # selected rows only: contiguous runs -> partial get_range
+                arr = pa.array(random_access.take_mask(blk, mask),
+                               type=pa.int64())
+            else:  # strings / nullable / matrix: decode then filter
+                if pamask is None:
+                    pamask = pa.array(mask)
+                arr = decode_column(blk).filter(pamask)
+            arrays.append(_decoded_to_output(arr, kinds[col]))
+        return pa.Table.from_arrays(arrays, names=out_cols)
+
+    return decode_group
+
+
+def decode_blocks_where(blocks: DataFrame, schema_ddl: str, filter_col: str,
+                        lo: int, kinds: dict[str, str] | None = None,
+                        columns: list[str] | None = None) -> DataFrame:
+    """decode_blocks with ``filter_col >= lo`` pushed INTO the encoded
+    form: the predicate is evaluated against each chunk's encoded block
+    (:func:`varint_spark.codecs.random_access.filter_ge`) and only the
+    passing rows' values are materialized (``take_mask`` decodes the
+    covering ranges only). Combine with :func:`prune_chunks` for the
+    zone-map stage first — this is the within-chunk stage of the
+    reference's partial-decode surface (decode only needed blocks,
+    varintFORDecodeBlock src/varintFOR.c:597). ``lo`` is in the stored
+    int64 domain (timestamps: epoch-µs)."""
+    fields = [f.strip() for f in schema_ddl.split(",")]
+    if columns:
+        fields = [f for f in fields if f.split()[0] in set(columns)]
+        schema_ddl = ", ".join(fields)
+        blocks = blocks.filter(F.col("column").isin(list(columns)))
+    cols = [f.split()[0] for f in fields]
+    if filter_col not in cols:
+        raise ValueError(f"filter_col {filter_col!r} must be among {cols}")
+    kinds = kinds or kinds_for_ddl(schema_ddl)
+    fn = make_decode_where_udf(kinds, cols, filter_col, lo)
+    return blocks.groupBy("part_key", "chunk_id").applyInArrow(fn, schema_ddl)
+
+
 def roundtrip(df: DataFrame, group_col: str, order_col: str,
               opts: EncodeOptions | None = None) -> DataFrame:
     """encode → decode a generic table; returns a DataFrame with the same
