@@ -46,6 +46,12 @@ def main() -> None:
 
     # heavy-tailed tiny values — elias gamma's winning regime
     geo = (rng.geometric(0.5, N) - 1).astype(np.int64)
+    # octave-spread magnitudes — elias delta proper's winning regime
+    octaves = (2 ** rng.uniform(20, 55, N)).astype(np.int64)
+
+    class _elias_delta:
+        encode = staticmethod(elias.encode_delta_code)
+        decode = staticmethod(elias.decode_delta_code)
 
     for name, codec, data in [
         ("delta_sorted_ts", delta, ts),
@@ -53,6 +59,7 @@ def main() -> None:
         ("varint_bitweighted", varint, weighted),
         ("pfor_tight_cluster", pfor, cluster),
         ("elias_gamma_geometric", elias, geo),
+        ("elias_delta_octaves", _elias_delta, octaves),
     ]:
         t_enc, buf = _best_of(lambda c=codec, d=data: c.encode(d))
         t_dec, out = _best_of(lambda c=codec, b=buf: c.decode(b, N))

@@ -99,7 +99,10 @@ def test_selector_picks_gamma_on_heavy_tail():
     blk = encode_int_block(v)
     cid = blocks.unpack_block(blk)[0]
     np.testing.assert_array_equal(decode_int_block(blk), v)
-    assert cid in (blocks.ELIAS_GAMMA, blocks.PFOR)  # gate picks by exact cost
+    # gate picks by exact cost; ELIAS_DELTA joined the rotation in r4 and
+    # wins here outright (the 2% huge values cost L + 2·log2(L) bits
+    # instead of gamma's 2L)
+    assert cid in (blocks.ELIAS_GAMMA, blocks.ELIAS_DELTA, blocks.PFOR)
     # and the gamma candidate's exact size must be what the gate compared
     assert elias.encoded_size(v) == len(elias.encode(v))
 
@@ -118,3 +121,59 @@ def test_selector_delta_gamma_on_heavy_tailed_sorted():
     cid = blocks.unpack_block(blk)[0]
     np.testing.assert_array_equal(decode_int_block(blk), v)
     assert cid == blocks.DELTA_GAMMA
+
+
+# ---- Elias DELTA code proper (gamma-coded length prefix) --------------------
+
+
+def test_elias_delta_code_roundtrip_boundaries():
+    ks = np.arange(1, 63)
+    v = np.concatenate([[0, 1, -1], 2**ks - 1, 2**ks, -(2**ks) + 1, -(2**ks),
+                        [2**62, -(2**62), (1 << 62) + 12345]]).astype(np.int64)
+    buf = elias.encode_delta_code(v)
+    assert len(buf) == elias.encoded_size_delta_code(v)
+    np.testing.assert_array_equal(elias.decode_delta_code(buf, len(v)), v)
+
+
+def test_elias_delta_code_rejects_int64_min():
+    import pytest
+
+    with pytest.raises(ValueError):
+        elias.encode_delta_code(np.array([-(1 << 63)], dtype=np.int64))
+    assert elias.encoded_size_delta_code(
+        np.array([-(1 << 63)], dtype=np.int64)) == 1 << 62
+
+
+def test_elias_delta_code_beats_gamma_and_for_on_octave_spread():
+    """The delta code's regime: magnitudes spread across many octaves —
+    gamma pays 2L-1 per value, FOR pays the max width, the gamma-coded
+    length reaches L + 2*log2(L) - 2."""
+    from varint_spark.codecs import foref
+
+    rng = np.random.default_rng(5)
+    v = (2 ** rng.uniform(20, 55, 50_000)).astype(np.int64)
+    d = elias.encoded_size_delta_code(v)
+    assert d < elias.encoded_size(v) * 0.8
+    assert d < foref.encoded_size(v)
+
+
+def test_selector_picks_elias_delta_on_octave_stream():
+    """The deterministic stream behind the codec_elias_delta_octaves
+    driver query: the decision tree nominates ELIAS_DELTA on wide-range
+    chunks and the exact-cost gate selects it, at every chunk size the
+    driver produces."""
+    from varint_spark.selector import (codec_name_of, decode_int_block,
+                                       encode_int_block)
+
+    pat = np.array([27, 27, 27, 27, 34, 34, 34, 41, 41, 48], dtype=np.int64)
+
+    def stream(ids):
+        e = pat[ids % 10]
+        return (np.int64(1) << e) + (ids * 2654435761) % (np.int64(1) << e)
+
+    for ids in [np.arange(1000), np.arange(10_000),
+                np.arange(65_536, 81_920)]:
+        v = stream(ids.astype(np.int64))
+        blk = encode_int_block(v)
+        assert codec_name_of(blk) == "elias_delta"
+        np.testing.assert_array_equal(decode_int_block(blk), v)

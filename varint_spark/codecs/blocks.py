@@ -36,6 +36,8 @@ MATRIX_F32 = 11   # fixed-dim f32 matrix (embeddings): column-major f64lossy pla
 #                   (ref src/varintDimension.h:30-56 pair header + src/varintFloat.h:27-114)
 ELIAS_GAMMA = 12  # gamma bitstream over zigzag+1 (ref src/varintElias.c:88-226)
 DELTA_GAMMA = 13  # first + gamma-coded zigzag deltas (gamma where it pays: tiny heavy-tailed deltas)
+ELIAS_DELTA = 14  # Elias delta code proper: gamma-coded bit length + mantissa tail
+#                   (ref src/varintElias.c:171-226; wins when magnitudes span many octaves)
 # string codecs
 PLAIN_STR = 16  # lengths int-block + concatenated utf-8 bytes
 DICT_STR = 17   # codes int-block + dictionary PLAIN_STR block
@@ -60,6 +62,7 @@ CODEC_NAMES = {
     MATRIX_F32: "matrix_f32",
     ELIAS_GAMMA: "elias_gamma",
     DELTA_GAMMA: "delta_gamma",
+    ELIAS_DELTA: "elias_delta",
     PLAIN_STR: "plain_str",
     DICT_STR: "dict_str",
     FSST_STR: "fsst_str",
@@ -70,7 +73,7 @@ CODEC_NAMES = {
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
 INT_CODECS = (PLAIN_INT, LEB128_ZZ, DELTA, FOR, PFOR, RLE_INT, DICT_INT, F64_XOR,
-              SEG_DELTA, F64_LOSSY, BP128_DELTA, ELIAS_GAMMA, DELTA_GAMMA)
+              SEG_DELTA, F64_LOSSY, BP128_DELTA, ELIAS_GAMMA, DELTA_GAMMA, ELIAS_DELTA)
 STR_CODECS = (PLAIN_STR, DICT_STR, FSST_STR, DICT_STR_SHARED, FSST_STR_SHARED)
 
 

@@ -102,11 +102,14 @@ def encode_stream(m: np.ndarray) -> bytes:
     return b"".join(parts)
 
 
-def decode_stream(buf: bytes | memoryview, count: int) -> np.ndarray:
-    """planar gamma bitstream -> uint64 values (fully vectorized: one
-    unpackbits for the lengths, one bitpack.unpack per distinct length)."""
+def _decode_stream_consumed(buf: bytes | memoryview, count: int
+                            ) -> tuple[np.ndarray, int]:
+    """planar gamma bitstream -> (uint64 values, bytes consumed) — the
+    consumed length is fully determined by the unary plane, which lets a
+    composite layout (ELIAS_DELTA's length stream) nest one stream after
+    another without an explicit byte-length prefix."""
     if count == 0:
-        return np.empty(0, dtype=np.uint64)
+        return np.empty(0, dtype=np.uint64), 0
     mv = memoryview(buf)
     u_nbytes, pos = blocks.take_uvarint(mv, 0)
     u_bits = np.unpackbits(np.frombuffer(mv[pos:pos + u_nbytes], dtype=np.uint8))
@@ -127,7 +130,13 @@ def decode_stream(buf: bytes | memoryview, count: int) -> np.ndarray:
             np.frombuffer(mv[pos:pos + nb], dtype=np.uint8), Lv - 1, c)
         pos += nb
         m[L == Lv] = (_U64(1) << _U64(Lv - 1)) | tails.view(np.uint64)
-    return m
+    return m, pos
+
+
+def decode_stream(buf: bytes | memoryview, count: int) -> np.ndarray:
+    """planar gamma bitstream -> uint64 values (fully vectorized: one
+    unpackbits for the lengths, one bitpack.unpack per distinct length)."""
+    return _decode_stream_consumed(buf, count)[0]
 
 
 _OVERFLOW = np.uint64(0xFFFFFFFFFFFFFFFF)  # zigzag(INT64_MIN): m would wrap
@@ -167,6 +176,95 @@ def encoded_size(v: np.ndarray) -> int:
     if zz.max() == _OVERFLOW:
         return 1 << 62
     return _stream_size(zz + _U64(1))
+
+
+# ---- Elias DELTA code proper (gamma-coded length prefix) --------------------
+#
+# The reference's second universal code (src/varintElias.c:171-226, array
+# forms :207-226): value m >= 1 with bit length L is coded as gamma(L)
+# followed by the L-1 mantissa bits of m below its leading 1 — total
+# 2*bitlen(L) - 1 + (L - 1) bits, which beats gamma's 2L - 1 as soon as
+# values get big (L >~ 4). Its winning regime is "uniform in log scale":
+# magnitudes spread across many octaves, where FOR pays the max width for
+# every value and gamma pays 2 bits per magnitude bit. Same planar
+# re-layout as gamma: the L values are themselves a planar gamma stream
+# (encode_stream reused verbatim — lengths are tiny, their gamma codes
+# short), then the m tails grouped by L through the fixed-width bitpack
+# kernels. Bit count identical to the reference's interleaved form modulo
+# per-group byte padding.
+
+
+def encode_stream_delta_code(m: np.ndarray) -> bytes:
+    """uint64 values (all ≥ 1) -> planar Elias delta bitstream:
+    [planar gamma of the bit lengths][m tails grouped by length]."""
+    n = len(m)
+    if n == 0:
+        return b""
+    L = _bitlen(m)
+    parts = [encode_stream(L.astype(np.uint64))]
+    for Lv in np.unique(L):
+        if Lv == 1:
+            continue  # the leading 1 is implied; no tail bits
+        tails = (m[L == Lv] & ((_U64(1) << _U64(Lv - 1)) - _U64(1))).astype(np.int64)
+        parts.append(bitpack.pack(tails, int(Lv) - 1))
+    return b"".join(parts)
+
+
+def decode_stream_delta_code(buf: bytes | memoryview, count: int) -> np.ndarray:
+    if count == 0:
+        return np.empty(0, dtype=np.uint64)
+    mv = memoryview(buf)
+    Lu, pos = _decode_stream_consumed(mv, count)
+    L = Lu.astype(np.int64)
+    m = np.empty(count, dtype=np.uint64)
+    counts = np.bincount(L, minlength=66)
+    for Lv in range(1, 65):
+        c = int(counts[Lv])
+        if not c:
+            continue
+        if Lv == 1:
+            m[L == 1] = 1
+            continue
+        nb = bitpack.packed_size(c, Lv - 1)
+        tails = bitpack.unpack(
+            np.frombuffer(mv[pos:pos + nb], dtype=np.uint8), Lv - 1, c)
+        pos += nb
+        m[L == Lv] = (_U64(1) << _U64(Lv - 1)) | tails.view(np.uint64)
+    return m
+
+
+def _stream_size_delta_code(m: np.ndarray) -> int:
+    """Exact bytes of encode_stream_delta_code(m)."""
+    L = _bitlen(m)
+    total = _stream_size(L.astype(np.uint64))
+    counts = np.bincount(L, minlength=66)
+    for Lv in range(2, 65):
+        c = int(counts[Lv])
+        if c:
+            total += bitpack.packed_size(c, Lv - 1)
+    return total
+
+
+def encode_delta_code(v: np.ndarray) -> bytes:
+    """int64 values -> planar Elias DELTA payload (zigzag+1, raw values)."""
+    zz = _zigzag(np.ascontiguousarray(v, dtype=np.int64))
+    if len(zz) and zz.max() == _OVERFLOW:
+        raise ValueError("elias delta cannot code INT64_MIN (zigzag+1 wraps)")
+    return encode_stream_delta_code(zz + _U64(1))
+
+
+def decode_delta_code(buf: bytes | memoryview, count: int) -> np.ndarray:
+    return _unzigzag(decode_stream_delta_code(buf, count) - _U64(1))
+
+
+def encoded_size_delta_code(v: np.ndarray) -> int:
+    """Exact bytes of encode_delta_code(v); 2^62 sentinel when uncodable."""
+    zz = _zigzag(np.ascontiguousarray(v, dtype=np.int64))
+    if len(zz) == 0:
+        return 0
+    if zz.max() == _OVERFLOW:
+        return 1 << 62
+    return _stream_size_delta_code(zz + _U64(1))
 
 
 def _wrap_deltas(v: np.ndarray) -> np.ndarray:

@@ -25,7 +25,7 @@ import pyarrow as pa
 
 from .codecs import blocks, bitpack, bp128, delta, dict_codec, elias, f64lossy, f64xor, foref, leb128, matrix, pfor, plain, rle, segdelta, strings, varint
 from .codecs.blocks import (
-    BP128_DELTA, DELTA, DELTA_GAMMA, DICT_INT, DICT_STR, DICT_STR_SHARED, ELIAS_GAMMA,
+    BP128_DELTA, DELTA, DELTA_GAMMA, DICT_INT, DICT_STR, DICT_STR_SHARED, ELIAS_DELTA, ELIAS_GAMMA,
     F64_LOSSY, F64_XOR, FOR, FSST_STR,
     FSST_STR_SHARED, LEB128_ZZ, NULLABLE, PFOR, PLAIN_INT, PLAIN_STR, RLE_INT,
     SEG_DELTA, CODEC_NAMES,
@@ -83,6 +83,7 @@ _INT_ENCODERS = {
     BP128_DELTA: bp128.encode,
     ELIAS_GAMMA: elias.encode,
     DELTA_GAMMA: elias.encode_delta,
+    ELIAS_DELTA: elias.encode_delta_code,
 }
 _INT_DECODERS = {
     PLAIN_INT: plain.decode_int,
@@ -98,6 +99,7 @@ _INT_DECODERS = {
     BP128_DELTA: bp128.decode,
     ELIAS_GAMMA: elias.decode,
     DELTA_GAMMA: elias.decode_delta,
+    ELIAS_DELTA: elias.decode_delta_code,
 }
 
 
@@ -126,6 +128,15 @@ def candidate_int_codecs(s: IntStats) -> list[int]:
         if s.min > -(1 << 63) + 1:  # zigzag+1 headroom (elias.py guard)
             cands.append(ELIAS_GAMMA)  # same regime as PFOR, but bit-exact
             #                            per-value lengths (ref varintElias)
+    if s.min > -(1 << 63) + 1 and int(s.max) - int(s.min) >= 1 << 24:
+        cands.append(ELIAS_DELTA)  # Elias delta code proper (gamma-coded
+        #                            lengths): its regime is magnitudes
+        #                            spread across many octaves, where FOR
+        #                            pays the max width for every value and
+        #                            LEB128 pays byte-granular padding —
+        #                            signalled by a wide range, with or
+        #                            without outliers (int() avoids the
+        #                            max-min int64 overflow)
     cands.append(FOR)
     return cands
 
@@ -141,6 +152,7 @@ _INT_SIZERS = {
     BP128_DELTA: bp128.encoded_size,
     ELIAS_GAMMA: elias.encoded_size,
     DELTA_GAMMA: elias.encoded_size_delta,
+    ELIAS_DELTA: elias.encoded_size_delta_code,
 }
 
 
