@@ -184,3 +184,35 @@ def test_null_elements_inside_rows_raise():
     from varint_spark.pipeline.similarity import list_matrix
     with pytest.raises(ValueError, match="null elements"):
         list_matrix(arr)
+
+
+def test_get_row_lossy_modes_without_full_decode(monkeypatch):
+    """VERDICT r3 #6: O(1)-per-entry row access must work on f64lossy
+    matrix modes without decoding the block — f64lossy.decode (the full
+    plane decoder) is monkeypatched to prove it is never invoked."""
+    import pyarrow as pa
+
+    from varint_spark.codecs import f64lossy, matrix
+
+    rng = np.random.default_rng(9)
+    n, dim = 300, 16
+    mat = rng.standard_normal((n, dim)).astype(np.float32)
+    mat[7, 3] = np.inf
+    mat[11, 0] = 0.0
+    mat[13, 5] = np.nan  # specials stay exact through the rank scan
+    arr = matrix.matrix_to_list(mat)
+
+    from varint_spark.selector import decode_column
+
+    def boom(*a, **k):
+        raise AssertionError("full f64lossy decode invoked")
+
+    for precision in ("high", "medium", "low"):
+        blk = matrix.encode_block(arr, precision)
+        monkeypatch.setattr(f64lossy, "decode", boom)
+        rows = [matrix.get_row(blk, i) for i in (0, 7, 11, 13, n - 1)]
+        monkeypatch.undo()
+        ref = matrix.list_to_matrix(decode_column(blk))
+        for i, r in zip((0, 7, 11, 13, n - 1), rows):
+            np.testing.assert_array_equal(
+                r, np.asarray(ref[i]), err_msg=f"{precision} row {i}")

@@ -144,6 +144,69 @@ def decode(buf: bytes | memoryview, count: int) -> np.ndarray:
     return out.view(np.int64)
 
 
+# sub-block codecs with no O(1) point access: decoded once per lookup batch
+_SEQUENTIAL_SUBS = (blocks.DELTA, blocks.SEG_DELTA, blocks.LEB128_ZZ,
+                    blocks.ELIAS_GAMMA, blocks.DELTA_GAMMA, blocks.ELIAS_DELTA)
+
+
+def get_positions(buf: bytes | memoryview, count: int,
+                  positions: np.ndarray) -> np.ndarray:
+    """Bit patterns at the given positions WITHOUT decoding the planes —
+    the per-entry access path (reference varintDimensionGetEntry is O(1)
+    in every mode, src/varintDimension.c:131-353). Costs one O(count/8)-
+    byte specials-bitmap rank scan plus O(len(positions)) point lookups:
+    sign/exponent come from their adaptive sub-blocks via
+    random_access.get_at, the mantissa from a fixed-stride bit slice —
+    the mantissa plane (the bulk of the payload) is never unpacked."""
+    from . import random_access
+
+    mv = memoryview(buf)
+    precision = _ID_PRECISIONS[mv[0]]
+    mbits = PRECISIONS[precision]
+    shift = 52 - mbits
+    pos = 1
+    sb = bitpack.packed_size(count, 1)
+    special = bitpack.unpack(np.frombuffer(mv[pos:pos + sb], dtype=np.uint8),
+                             1, count).astype(bool)
+    pos += sb
+    n_special = int(special.sum())
+    specials = np.frombuffer(mv[pos:pos + 8 * n_special], dtype=np.uint64)
+    pos += 8 * n_special
+    sign_sub, pos = blocks.take_sub(mv, pos)
+    exp_sub, pos = blocks.take_sub(mv, pos)
+    mant_buf = np.frombuffer(mv[pos:], dtype=np.uint8)
+    cum = np.cumsum(special)  # specials in [0..q] inclusive
+    p = np.asarray(positions, dtype=np.int64)
+    out = np.empty(len(p), dtype=np.uint64)
+    is_spec = special[p]
+    if is_spec.any():
+        out[is_spec] = specials[cum[p[is_spec]] - 1]
+    norm_p = p[~is_spec]
+    if len(norm_p):
+        ranks = norm_p - cum[norm_p]  # rank among normals
+
+        def sub_lookup(sub):
+            # sequential codecs (gamma/delta streams) decode the small
+            # sub-plane ONCE for all ranks; random-access codecs answer
+            # each rank in O(1)
+            if sub[0] in _SEQUENTIAL_SUBS:
+                from ..selector import decode_int_block
+                return decode_int_block(sub)[ranks]
+            return np.array([random_access.get_at(sub, int(r)) for r in ranks],
+                            dtype=np.int64)
+
+        s = sub_lookup(sign_sub).astype(np.uint64)
+        e = sub_lookup(exp_sub).astype(np.uint64)
+        if mbits:
+            m = np.array([int(random_access._unpack_range(mant_buf, mbits,
+                                                          int(r), 1)[0])
+                          for r in ranks], dtype=np.uint64)
+        else:
+            m = np.zeros(len(ranks), dtype=np.uint64)
+        out[~is_spec] = (s << _U64(63)) | (e << _U64(52)) | (m << _U64(shift))
+    return out.view(np.int64)
+
+
 def encoded_size(bits: np.ndarray, precision: str = "medium") -> int:
     """Exact (the nested sign/exponent blocks are built to be sized, like
     segdelta — this codec never enters the analytic cost-gate sweep)."""

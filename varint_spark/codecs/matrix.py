@@ -153,15 +153,16 @@ def encode_block(arr: pa.Array, precision: str | None = None) -> bytes:
 def get_row(block: bytes | memoryview, i: int) -> np.ndarray:
     """Per-entry access — the reference dimension codec's defining
     operation (varintDimensionGetEntry, src/varintDimension.c:131-353):
-    read row ``i`` of the encoded matrix touching O(dim) bytes, never the
-    whole block, in plain mode. Value (i, j) lives at flat index j*n + i
-    of the column-major payload, so a row is one strided gather over a
-    zero-copy view of the data bytes.
+    read row ``i`` of the encoded matrix touching O(dim) values, never the
+    whole block, in EVERY mode. Value (i, j) lives at flat index j*n + i
+    of the column-major payload:
 
-    The f64lossy mode falls back to block decode (its sign/exponent
-    sub-blocks already support O(1) slicing via random_access.py and the
-    mantissa plane is fixed-stride, but the specials bitmap needs a rank
-    scan — a documented non-goal until a query needs it)."""
+    * plain mode — one strided gather over a zero-copy f32 view;
+    * f64lossy modes — f64lossy.get_positions: the sign/exponent
+      sub-blocks answer point lookups via random_access.get_at, the
+      mantissa plane is a fixed-stride bit slice, and only the 1-bit
+      specials bitmap pays a rank scan (O(n*dim/8) bytes — ~23× smaller
+      than the mantissa plane it avoids decoding)."""
     cid, n_rows, payload = blocks.unpack_block(block)
     if cid != blocks.MATRIX_F32:
         raise ValueError(f"not a matrix block: codec {cid}")
@@ -174,7 +175,11 @@ def get_row(block: bytes | memoryview, i: int) -> np.ndarray:
     if mode == _MODE_PLAIN:
         flat = np.frombuffer(mv[pos:pos + 4 * n_rows * dim], dtype=np.float32)
         return np.ascontiguousarray(flat[i::n_rows])  # one strided gather
-    lst = decode(payload, n_rows)
-    # flatten() honors the slice offsets (.values would return the whole
-    # child buffer)
-    return np.asarray(lst.slice(i, 1).flatten(), dtype=np.float32)
+    flat_pos = i + n_rows * np.arange(dim, dtype=np.int64)
+    bits = f64lossy.get_positions(mv[pos:], n_rows * dim, flat_pos)
+    wide = bits.view(np.float64)
+    # same saturating f64->f32 cast as decode()
+    fmax = np.float64(np.finfo(np.float32).max)
+    finite = np.isfinite(wide)
+    wide = np.where(finite, np.clip(wide, -fmax, fmax), wide)
+    return wide.astype(np.float32)
