@@ -172,6 +172,39 @@ def _q_elias_heavytail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.crossJoin(codec)
 
 
+def _q_elias_delta_octaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elias DELTA code proper through the gate (reference
+    src/varintElias.c:171-226, array forms :207-226): magnitudes spread
+    across octaves with full-entropy mantissas. Bit lengths after zigzag
+    are {29, 36, 43, 50} — each just past a 7-bit LEB128 boundary, so the
+    varint floor pays a full padding byte; FOR pays the 50-bit max width
+    for every value; gamma pays 2L-1. The gamma-coded-length form costs
+    L + 2*log2(L) - 2 and wins (measured on this stream: ~45.2 vs LEB 48 /
+    FOR 49 bits per value). The oracle pins the decoded values (identity)
+    AND the selected codec — nomination comes from the wide-range branch
+    (selector.candidate_int_codecs), selection from the exact-cost gate."""
+    from varint_spark.engine import EncodeOptions, decode_blocks
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.lit("all").alias("g"),
+        F.expr(
+            "CAST(shiftleft(CAST(1 AS BIGINT),"
+            "  element_at(array(27,27,27,27,34,34,34,41,41,48),"
+            "             CAST(event_id % 10 + 1 AS INT)))"
+            " + pmod(event_id * 2654435761,"
+            "        shiftleft(CAST(1 AS BIGINT),"
+            "  element_at(array(27,27,27,27,34,34,34,41,41,48),"
+            "             CAST(event_id % 10 + 1 AS INT)))) AS BIGINT)"
+        ).alias("v"))
+    opts = EncodeOptions(num_buckets=4, chunk_rows=16_384, salt_span=65_536,
+                         group_col="g", order_col="event_id")
+    kinds = {"event_id": "int64", "v": "int64"}
+    blocks = encode_transcripts(ev, opts, kinds=kinds).cache()
+    codec = blocks.filter(F.col("column") == "v").select("codec").distinct()
+    rows = decode_blocks(blocks, "event_id long, v long", kinds=kinds)
+    return rows.crossJoin(codec)
+
+
 def _q_random_access_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point lookups into encoded blocks WITHOUT full decode (reference
     varintFORGetAt/varintPFORGetAt/varintRLEGetAt — SURVEY §2.A.5): encode
@@ -225,6 +258,33 @@ def _q_random_access_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                         columns=["event_id", "ts"])
     return dec.filter(F.unix_micros(F.to_timestamp("ts")) >= mid).select(
         "event_id", F.unix_micros(F.to_timestamp("ts")).alias("ts_us"))
+
+
+def _q_predicate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """random_access_prune's exact-filter stage pushed INTO the encoded
+    form: zone-map chunk pruning first, then ``ts >= mid`` evaluated
+    against the surviving chunks' ENCODED ts blocks — bit-sliced
+    packed-offset compares for FOR/PFOR, header-bound 128-block pruning
+    for BP128 (codecs/random_access.filter_ge; reference partial-decode
+    surface, varintFORDecodeBlock src/varintFOR.c:597,182-201). The
+    surviving chunks are never fully decoded (monkeypatch-proved in
+    tests/test_random_access.py); only the passing rows' covering ranges
+    materialize. Same oracle as random_access_prune."""
+    from varint_spark.engine import (EncodeOptions, decode_blocks_where,
+                                     encode_transcripts, prune_chunks)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    opts = EncodeOptions(num_buckets=16, chunk_rows=2048, salt_span=2**40,
+                         group_col="user_id", order_col="event_id")
+    blocks = encode_transcripts(ev, opts)
+    us = F.unix_micros(F.to_timestamp("ts"))
+    mn, mx = ev.agg(F.min(us), F.max(us)).first()
+    mid = (mn + mx) // 2
+    pruned = prune_chunks(blocks, "ts", lo=mid)
+    dec = decode_blocks_where(pruned, "event_id bigint, ts timestamp_ntz",
+                              "ts", mid, columns=["event_id", "ts"])
+    return dec.select("event_id",
+                      F.unix_micros(F.to_timestamp("ts")).alias("ts_us"))
 
 
 def _q_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,6 +449,28 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # polynomial fold the DuckDB oracle reproduces exactly (xxhash64 has no
     # SQL twin); xxhash64 stays the production default (tests cover it)
     return dedup.simhash(docs, "doc_id", "text", hash_mode="portable")
+
+
+def _q_multimodal_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL media decoder through the value gate (not the sha256 fake):
+    documents become genuine RIFF/WAVE PCM-16 payloads whose sample values
+    are a stated function of (doc_id, length(text)), the pure-numpy WAV
+    parser (multimodal.decode_wav) decodes them inside mapInArrow, and the
+    integer features [n_samples, sum|s|, s_0, max s] are recomputed by the
+    SQL oracle from the same arithmetic — the container bytes and the
+    decoder are the untrusted links the gate exercises."""
+    from varint_spark.pipeline import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = multimodal.synthesize_wav_media(docs)
+    feats = multimodal.extract_features(media, feature_dim=4,
+                                        decoder=multimodal.wav_feature_decoder)
+    return feats.select(
+        "media_id",
+        F.element_at("features", 1).cast("long").alias("n_samples"),
+        F.element_at("features", 2).cast("long").alias("sum_abs"),
+        F.element_at("features", 3).cast("long").alias("first_sample"),
+        F.element_at("features", 4).cast("long").alias("max_sample"))
 
 
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -650,8 +732,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_float_lossy": _q_float_lossy,
         "codec_embedding_lossy": _q_embedding_lossy,
         "codec_elias_heavytail": _q_elias_heavytail,
+        "codec_elias_delta_octaves": _q_elias_delta_octaves,
         "random_access_point": _q_random_access_point,
         "random_access_prune": _q_random_access_prune,
+        "predicate_pushdown_encoded": _q_predicate_pushdown,
         "analyze_minmax_range": _q_minmax,
         "analyze_run_lengths": _q_runs,
         "analyze_cardinality": _q_cardinality,
@@ -670,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk_ivf": _q_similarity_ivf,
         "fingerprint_documents": _q_fingerprints,
         "multimodal_features": _q_multimodal,
+        "multimodal_real_decode": _q_multimodal_real,
         "q1_pricing_summary": _q_pricing_summary,
         "set_ops_bitmap_analog": _q_set_ops,
         "bitmap_codec_algebra": _q_bitmap_codec,
@@ -825,6 +910,18 @@ def oracle_sql() -> dict[str, str]:
             " CAST(event_id * 3 + (event_id // 250) * 100000 AS BIGINT) AS v,"
             " 'delta_gamma' AS codec FROM events"
         ),
+        # identity on the values AND the gate's codec choice: gamma-coded
+        # lengths (Elias delta proper) win the octave-spread regime
+        # (derivation in the query docstring)
+        "codec_elias_delta_octaves": (
+            "WITH s AS (SELECT event_id,"
+            "  list_extract([27,27,27,27,34,34,34,41,41,48],"
+            "               CAST(event_id % 10 + 1 AS INT)) AS e FROM events)"
+            " SELECT event_id,"
+            " CAST((CAST(1 AS BIGINT) << e)"
+            "  + (event_id * 2654435761) % (CAST(1 AS BIGINT) << e) AS BIGINT) AS v,"
+            " 'elias_delta' AS codec FROM s"
+        ),
         # memcmp order over tagged-encoded (user_id, event_id) must equal
         # logical pair order — checked exhaustively, summarized in one row
         "tagged_sortable_keys": (
@@ -868,6 +965,13 @@ def oracle_sql() -> dict[str, str]:
             " WHERE event_id % 1024 IN (0, 10, 11, 12, 13, 14)"
         ),
         "random_access_prune": (
+            "SELECT event_id, epoch_us(ts) AS ts_us FROM events"
+            " WHERE epoch_us(ts) >= (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2"
+            "                        FROM events)"
+        ),
+        # identical result set, but the Spark side evaluates the filter on
+        # the encoded form (no full decode of surviving chunks)
+        "predicate_pushdown_encoded": (
             "SELECT event_id, epoch_us(ts) AS ts_us FROM events"
             " WHERE epoch_us(ts) >= (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2"
             "                        FROM events)"
@@ -969,6 +1073,23 @@ def oracle_sql() -> dict[str, str]:
             "     / 255.0)),"
             "   (a, c) -> a + c), 6) AS feature_sum"
             " FROM documents"
+        ),
+        # real WAV decode: the oracle recomputes the PCM features from the
+        # stated sample arithmetic; only the RIFF container bytes and
+        # multimodal.decode_wav stand between the two sides
+        "multimodal_real_decode": (
+            "WITH d AS (SELECT doc_id, length(text) % 64 + 16 AS n"
+            "           FROM documents),"
+            " s AS (SELECT doc_id, n, unnest(range(n)) AS k FROM d)"
+            " SELECT doc_id AS media_id,"
+            " CAST(MAX(n) AS BIGINT) AS n_samples,"
+            " CAST(SUM(ABS((doc_id*31 + k*7) % 65536 - 32768)) AS BIGINT)"
+            "   AS sum_abs,"
+            " CAST(MAX(CASE WHEN k = 0 THEN (doc_id*31 + k*7) % 65536 - 32768"
+            "          END) AS BIGINT) AS first_sample,"
+            " CAST(MAX((doc_id*31 + k*7) % 65536 - 32768) AS BIGINT)"
+            "   AS max_sample"
+            " FROM s GROUP BY doc_id"
         ),
         "fingerprint_documents": _fingerprint_oracle(),
         "similarity_topk": (

@@ -288,3 +288,45 @@ def test_multimodal_null_payload_distinct_from_empty(spark):
     assert by_id[3] == [0.0, 0.0, 0.0, 0.0]
     assert any(v != 0.0 for v in by_id[2])
     assert any(v != 0.0 for v in by_id[1])
+
+
+def test_wav_decoder_roundtrips_synthesized_payloads():
+    """decode_wav is a real RIFF/WAVE parser: it must recover the exact
+    PCM samples synthesize_wav_media wrote, and reject malformed bytes."""
+    n = 37
+    k = np.arange(n, dtype=np.int64)
+    s = ((5 * 31 + k * 7) % 65536 - 32768).astype("<i2")
+    data = s.tobytes()
+    wav = (b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+           + b"data" + len(data).to_bytes(4, "little") + data)
+    got = multimodal.decode_wav(wav)
+    np.testing.assert_array_equal(got, s)
+    # an extra chunk before data must be skipped (word-aligned walk)
+    wav2 = wav[:12] + b"LIST" + (3).to_bytes(4, "little") + b"abc\x00" + wav[12:]
+    np.testing.assert_array_equal(multimodal.decode_wav(wav2), s)
+    for bad in (b"", b"RIFFxxxxWAVE", wav[:20],
+                wav.replace(b"fmt ", b"fmx ")):
+        with pytest.raises(ValueError):
+            multimodal.decode_wav(bad)
+    # stereo / non-PCM rejected
+    stereo = wav.replace((1).to_bytes(2, "little") + (1).to_bytes(2, "little"),
+                         (1).to_bytes(2, "little") + (2).to_bytes(2, "little"), 1)
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(stereo)
+
+
+def test_wav_features_match_reference(spark, docs):
+    sub = docs.limit(40)
+    media = multimodal.synthesize_wav_media(sub)
+    feats = multimodal.extract_features(
+        media, feature_dim=4, decoder=multimodal.wav_feature_decoder)
+    got = {r.media_id: [int(x) for x in r.features] for r in feats.collect()}
+    for r in sub.collect():
+        n = len(r.text) % 64 + 16
+        k = np.arange(n, dtype=np.int64)
+        s = (r.doc_id * 31 + k * 7) % 65536 - 32768
+        assert got[r.doc_id] == [n, int(np.abs(s).sum()), int(s[0]), int(s.max())]
