@@ -85,6 +85,22 @@ def run_bench(encode_only: bool = False) -> dict:
     decode_blocks(encode_transcripts(warm.repartition(int(CPUS)), opts),
                   transcripts.TRANSCRIPT_DDL).count()
 
+    best: dict[str, float] = {}
+    run_totals: list[float] = [0.0] * repeat
+
+    # encode passes FIRST, before any cache of the blocks plan exists:
+    # Spark's CacheManager matches identical logical plans, so caching the
+    # blocks DataFrame up front would silently turn every timed encode
+    # into a cache read (this bug made one smoke run report 3.6M turns/s)
+    for rep in range(repeat):
+        t0 = time.time()
+        agg = encode_transcripts(tdf, opts).agg(
+            F.sum("raw_bytes").alias("raw"), F.sum("encoded_bytes").alias("enc"),
+            F.sum("varint_bytes").alias("var")).collect()[0]
+        dt = time.time() - t0
+        run_totals[rep] += dt
+        best["encode_transcripts"] = min(best.get("encode_transcripts", 1e9), dt)
+
     shared = None
     if not encode_only:
         from varint_spark.shared import build_shared_tables
@@ -96,16 +112,8 @@ def run_bench(encode_only: bool = False) -> dict:
         blocks = encode_transcripts(tdf, opts).cache()
         blocks.count()
 
-    best: dict[str, float] = {}
-    run_totals: list[float] = []
-    for _ in range(repeat):
+    for rep in range(repeat):
         cur: dict[str, float] = {}
-
-        t0 = time.time()
-        agg = encode_transcripts(tdf, opts).agg(
-            F.sum("raw_bytes").alias("raw"), F.sum("encoded_bytes").alias("enc"),
-            F.sum("varint_bytes").alias("var")).collect()[0]
-        cur["encode_transcripts"] = time.time() - t0
 
         if not encode_only:
             t0 = time.time()
@@ -134,7 +142,7 @@ def run_bench(encode_only: bool = False) -> dict:
             roundtrip(docs, "lang", "doc_id", opts).count()
             cur["roundtrip_documents"] = time.time() - t0
 
-        run_totals.append(round(sum(cur.values()), 3))
+        run_totals[rep] = round(run_totals[rep] + sum(cur.values()), 3)
         for k, v in cur.items():
             best[k] = min(best.get(k, float("inf")), v)
 
