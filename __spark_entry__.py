@@ -287,6 +287,28 @@ def _q_predicate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.unix_micros(F.to_timestamp("ts")).alias("ts_us"))
 
 
+def _q_predicate_pushdown_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both-bounds variant of predicate_pushdown_encoded: zone-map prune
+    to [q1, mid], then ``q1 <= ts <= mid`` evaluated on the surviving
+    chunks' encoded ts blocks (filter_between = the ge automaton AND the
+    complement of ge(hi+1), null rows excluded)."""
+    from varint_spark.engine import (EncodeOptions, decode_blocks_where,
+                                     encode_transcripts, prune_chunks)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    opts = EncodeOptions(num_buckets=16, chunk_rows=2048, salt_span=2**40,
+                         group_col="user_id", order_col="event_id")
+    blocks = encode_transcripts(ev, opts)
+    us = F.unix_micros(F.to_timestamp("ts"))
+    mn, mx = ev.agg(F.min(us), F.max(us)).first()
+    lo, hi = mn + (mx - mn) // 4, mn + (mx - mn) // 2
+    pruned = prune_chunks(blocks, "ts", lo=lo, hi=hi)
+    dec = decode_blocks_where(pruned, "event_id bigint, ts timestamp_ntz",
+                              "ts", lo, hi=hi, columns=["event_id", "ts"])
+    return dec.select("event_id",
+                      F.unix_micros(F.to_timestamp("ts")).alias("ts_us"))
+
+
 def _q_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -471,6 +493,23 @@ def _q_multimodal_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("features", 2).cast("long").alias("sum_abs"),
         F.element_at("features", 3).cast("long").alias("first_sample"),
         F.element_at("features", 4).cast("long").alias("max_sample"))
+
+
+def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming near-dup pairs, fully oracled: band the 64-bit
+    simhash into 8 slices — a pair within Hamming radius 3 shares a band
+    BY PIGEONHOLE (8 > 3), so the bucket self-join is an exact candidate
+    generator; bit_count(xor) verifies. The doubled corpus plants exact
+    duplicates (hamming 0); the oracle recomputes ALL pairs from the
+    portable simhashes, so recall exactness is value-gated, not assumed."""
+    from varint_spark.pipeline import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doubled = docs.select("doc_id", "text").union(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    return dedup.simhash_near_dup_pairs(doubled, "doc_id", "text",
+                                        max_hamming=3, bands=8,
+                                        hash_mode="portable")
 
 
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -736,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_access_point": _q_random_access_point,
         "random_access_prune": _q_random_access_prune,
         "predicate_pushdown_encoded": _q_predicate_pushdown,
+        "predicate_pushdown_range": _q_predicate_pushdown_range,
         "analyze_minmax_range": _q_minmax,
         "analyze_run_lengths": _q_runs,
         "analyze_cardinality": _q_cardinality,
@@ -745,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_jaccard": _q_dedup_minhash,
         "simhash_documents": _q_simhash,
+        "simhash_near_dup": _q_simhash_near_dup,
         "text_token_stats": _q_token_stats,
         "text_quality_score": _q_quality,
         "text_lang_id": _q_lang_id,
@@ -819,10 +860,11 @@ def _duck_poly_fold(expr: str, base: int, length_expr: str) -> str:
             f" (a, c) -> (a * {base} + c) % 2147483647)")
 
 
-def _simhash_oracle() -> str:
-    """SimHash recomputed in SQL: portable token hash (two polynomial
-    folds), per-bit signed sums, sign-bit reassembly — mirrors
-    dedup.simhash(hash_mode='portable') term by term."""
+def _simhash_ctes(source: str = "documents") -> str:
+    """CTE chain computing the portable simhash from ``source``: token
+    hash (two polynomial folds), per-bit signed sums, sign-bit reassembly
+    — mirrors dedup.simhash(hash_mode='portable') term by term. Ends with
+    ``sim(doc_id, simhash)``."""
     h = (f"({_duck_poly_fold('tok', 31, 'length(tok)')} * 2147483648"
          f" + {_duck_poly_fold('tok', 37, 'length(tok)')})")
     bit_sums = ", ".join(
@@ -833,12 +875,32 @@ def _simhash_oracle() -> str:
         " ELSE CAST(0 AS BIGINT) END)"
         for i in range(64))
     return (
-        "WITH toks AS (SELECT doc_id,"
+        "toks AS (SELECT doc_id,"
         r" unnest(list_filter(regexp_split_to_array(text, '\s+'),"
-        " t -> length(t) > 0)) AS tok FROM documents),"
+        f" t -> length(t) > 0)) AS tok FROM {source}),"
         f" h AS (SELECT doc_id, {h} AS h FROM toks),"
-        f" bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)"
-        f" SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM bits"
+        f" bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id),"
+        f" sim AS (SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM bits)"
+    )
+
+
+def _simhash_oracle() -> str:
+    return "WITH " + _simhash_ctes() + " SELECT doc_id, simhash FROM sim"
+
+
+def _simhash_neardup_oracle(max_hamming: int = 3) -> str:
+    """ALL-pairs Hamming verification over the portable simhashes of the
+    doubled corpus — exact, because the Spark side's banding is an exact
+    candidate generator (pigeonhole: bands > max_hamming) and no bucket
+    exceeds the guard on this data."""
+    return (
+        "WITH d2 AS (SELECT doc_id, text FROM documents"
+        " UNION ALL SELECT doc_id + 1000000, text FROM documents), "
+        + _simhash_ctes("d2") +
+        " SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+        " CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming"
+        " FROM sim a JOIN sim b ON a.doc_id < b.doc_id"
+        f" WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"
     )
 
 
@@ -976,6 +1038,13 @@ def oracle_sql() -> dict[str, str]:
             " WHERE epoch_us(ts) >= (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2"
             "                        FROM events)"
         ),
+        "predicate_pushdown_range": (
+            "WITH b AS (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx"
+            "           FROM events)"
+            " SELECT event_id, epoch_us(ts) AS ts_us FROM events, b"
+            " WHERE epoch_us(ts) BETWEEN b.mn + (b.mx - b.mn) // 4"
+            "                        AND b.mn + (b.mx - b.mn) // 2"
+        ),
         "analyze_minmax_range": (
             "SELECT event_type, COUNT(*) AS cnt, MIN(user_id) AS min_uid,"
             " MAX(user_id) AS max_uid, MAX(user_id) - MIN(user_id) AS range_uid"
@@ -1062,6 +1131,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_lang_id": _lang_id_oracle(),
         "simhash_documents": _simhash_oracle(),
+        "simhash_near_dup": _simhash_neardup_oracle(),
         # fake decoder = sha256(payload) bytes / 255; payload = UTF-8 text
         # bytes, so DuckDB's sha256(text) sees identical input. Fold order
         # mirrors Spark's sequential F.aggregate exactly (list_reduce).

@@ -330,3 +330,29 @@ def test_wav_features_match_reference(spark, docs):
         k = np.arange(n, dtype=np.int64)
         s = (r.doc_id * 31 + k * 7) % 65536 - 32768
         assert got[r.doc_id] == [n, int(np.abs(s).sum()), int(s[0]), int(s.max())]
+
+
+def test_simhash_near_dup_finds_planted_duplicates(spark, docs):
+    sub = docs.limit(60).select("doc_id", "text") \
+        .filter(F.length(F.trim("text")) > 0)
+    doubled = sub.union(sub.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    pairs = dedup.simhash_near_dup_pairs(doubled, "doc_id", "text",
+                                         max_hamming=3, bands=8)
+    found = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    for r in sub.collect():
+        assert found.get((r.doc_id, r.doc_id + 1_000_000)) == 0, r.doc_id
+    # exact recall: every pair the brute-force check admits is present
+    sh = {r.doc_id: r.simhash
+          for r in dedup.simhash(doubled, "doc_id", "text").collect()}
+    ids = sorted(sh)
+    brute = {(a, b): bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1")
+             for i, a in enumerate(ids) for b in ids[i + 1:]}
+    brute = {k: v for k, v in brute.items() if v <= 3}
+    assert found == brute
+
+
+def test_simhash_near_dup_band_guard():
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_dup_pairs(None, "id", "t", max_hamming=8, bands=8)
+    with pytest.raises(ValueError, match="divide"):
+        dedup.simhash_near_dup_pairs(None, "id", "t", max_hamming=3, bands=7)

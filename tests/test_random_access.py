@@ -193,3 +193,36 @@ def test_bp128_filter_unpacks_only_straddling_blocks(monkeypatch):
     assert np.array_equal(mask, v >= c)
     n_blocks = (len(v) + 127) // 128
     assert len(unpacked) < n_blocks // 4, (len(unpacked), n_blocks)
+
+
+def test_filter_le_and_between_parity():
+    from varint_spark import selector
+    from varint_spark.codecs import random_access as ra
+
+    rng = np.random.default_rng(13)
+    for v in [rng.integers(1000, 5000, 3000, dtype=np.int64),
+              np.int64(1e12) + np.cumsum(rng.integers(-50, 60, 3000,
+                                                      dtype=np.int64)),
+              rng.integers(-10**9, 10**9, 3000, dtype=np.int64)]:
+        blk = selector.encode_int_block(v)
+        lo, hi = int(np.percentile(v, 25)), int(np.percentile(v, 75))
+        assert np.array_equal(ra.filter_le(blk, hi), v <= hi)
+        assert np.array_equal(ra.filter_between(blk, lo, hi),
+                              (v >= lo) & (v <= hi))
+        assert np.array_equal(ra.filter_between(blk, None, hi), v <= hi)
+        assert np.array_equal(ra.filter_between(blk, lo, None), v >= lo)
+        assert ra.filter_le(blk, np.iinfo(np.int64).max).all()
+
+
+def test_filter_le_nullable_rows_stay_false():
+    import pyarrow as pa
+
+    from varint_spark import selector
+    from varint_spark.codecs import random_access as ra
+
+    vals = pa.array([1, None, 5, 7, None, 2], type=pa.int64())
+    blk = selector.encode_column(vals, "int")
+    # the ~ge complement must not flip null rows to True
+    assert ra.filter_le(blk, 4).tolist() == [True, False, False, False, False, True]
+    assert ra.filter_between(blk, 2, 6).tolist() == \
+        [False, False, True, False, False, True]

@@ -341,3 +341,33 @@ def take_mask(block: bytes | memoryview, mask: np.ndarray) -> np.ndarray:
     ends = idx[np.concatenate([breaks, [len(idx) - 1]])] + 1
     return np.concatenate([get_range(block, int(s), int(e - s))
                            for s, e in zip(starts, ends)])
+
+
+def filter_le(block: bytes | memoryview, c: int) -> np.ndarray:
+    """``v <= c`` on the encoded form: the complement of ``v >= c+1`` over
+    VALID rows (null rows stay False — SQL ``NULL <= c`` filters out)."""
+    cid, count, payload = blocks.unpack_block(block)
+    if cid == blocks.NULLABLE:
+        bitmap_len = bitpack.packed_size(count, 1)
+        valid = bitpack.unpack(np.frombuffer(payload[:bitmap_len], dtype=np.uint8),
+                               1, count).astype(bool)
+        out = np.zeros(count, dtype=bool)
+        out[valid] = filter_le(payload[bitmap_len:], c)
+        return out
+    if c >= np.iinfo(np.int64).max:
+        return np.ones(count, dtype=bool)
+    return ~filter_ge(block, int(c) + 1)
+
+
+def filter_between(block: bytes | memoryview, lo: int | None,
+                   hi: int | None) -> np.ndarray:
+    """``lo <= v <= hi`` on the encoded form (either bound optional; null
+    rows False whenever any bound is given)."""
+    cid, count, _ = blocks.unpack_block(block)
+    if lo is None and hi is None:
+        return np.ones(count, dtype=bool)
+    mask = filter_ge(block, int(lo)) if lo is not None else None
+    if hi is not None:
+        m2 = filter_le(block, int(hi))
+        mask = m2 if mask is None else (mask & m2)
+    return mask

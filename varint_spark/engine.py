@@ -354,7 +354,7 @@ def decode_blocks(blocks: DataFrame, schema_ddl: str, kinds: dict[str, str] | No
 
 
 def make_decode_where_udf(kinds: dict[str, str], out_cols: list[str],
-                          filter_col: str, lo: int):
+                          filter_col: str, lo: int | None, hi: int | None = None):
     from .codecs import random_access
     from .codecs.blocks import INT_CODECS
 
@@ -365,7 +365,7 @@ def make_decode_where_udf(kinds: dict[str, str], out_cols: list[str],
         # the predicate runs against the ENCODED block — packed-offset
         # compares for FOR/PFOR, header-bound 128-block pruning for BP128;
         # surviving chunks are never fully decoded
-        mask = random_access.filter_ge(by_col[filter_col], lo)
+        mask = random_access.filter_between(by_col[filter_col], lo, hi)
         pamask = None
         arrays = []
         for col in out_cols:
@@ -385,16 +385,18 @@ def make_decode_where_udf(kinds: dict[str, str], out_cols: list[str],
 
 
 def decode_blocks_where(blocks: DataFrame, schema_ddl: str, filter_col: str,
-                        lo: int, kinds: dict[str, str] | None = None,
-                        columns: list[str] | None = None) -> DataFrame:
-    """decode_blocks with ``filter_col >= lo`` pushed INTO the encoded
-    form: the predicate is evaluated against each chunk's encoded block
-    (:func:`varint_spark.codecs.random_access.filter_ge`) and only the
-    passing rows' values are materialized (``take_mask`` decodes the
+                        lo: int | None, kinds: dict[str, str] | None = None,
+                        columns: list[str] | None = None,
+                        hi: int | None = None) -> DataFrame:
+    """decode_blocks with ``lo <= filter_col <= hi`` (either bound
+    optional) pushed INTO the encoded form: the predicate is evaluated
+    against each chunk's encoded block
+    (:func:`varint_spark.codecs.random_access.filter_between`) and only
+    the passing rows' values are materialized (``take_mask`` decodes the
     covering ranges only). Combine with :func:`prune_chunks` for the
     zone-map stage first — this is the within-chunk stage of the
     reference's partial-decode surface (decode only needed blocks,
-    varintFORDecodeBlock src/varintFOR.c:597). ``lo`` is in the stored
+    varintFORDecodeBlock src/varintFOR.c:597). Bounds are in the stored
     int64 domain (timestamps: epoch-µs)."""
     fields = [f.strip() for f in schema_ddl.split(",")]
     if columns:
@@ -405,7 +407,7 @@ def decode_blocks_where(blocks: DataFrame, schema_ddl: str, filter_col: str,
     if filter_col not in cols:
         raise ValueError(f"filter_col {filter_col!r} must be among {cols}")
     kinds = kinds or kinds_for_ddl(schema_ddl)
-    fn = make_decode_where_udf(kinds, cols, filter_col, lo)
+    fn = make_decode_where_udf(kinds, cols, filter_col, lo, hi)
     return blocks.groupBy("part_key", "chunk_id").applyInArrow(fn, schema_ddl)
 
 

@@ -150,6 +150,55 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     return out.withColumnRenamed("_sh_id", id_col)
 
 
+def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
+                           max_hamming: int = 3, bands: int = 8,
+                           hash_mode: str = "xxhash64",
+                           max_bucket_size: int = 100_000) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, at scale: band
+    the 64-bit simhash into ``bands`` bit slices, self-join on any shared
+    (band, slice) bucket, verify candidates with the exact
+    ``bit_count(xor)``. Because ``bands > max_hamming``, a pair within
+    the Hamming radius differs in at most ``max_hamming`` bands, so BY
+    PIGEONHOLE it shares at least one band bucket — the banding is an
+    EXACT candidate generator (no recall loss), unlike probabilistic
+    minhash bands. One shuffle for the self-join; everything JVM-side
+    after the simhash map pass.
+
+    ``max_bucket_size`` is the standard degenerate-bucket skew guard
+    (e.g. a boilerplate band shared by millions of docs); dropping a
+    bucket can only lose pairs whose OTHER shared bands are also
+    oversized. Returns (id_a, id_b, hamming), id_a < id_b."""
+    if bands <= max_hamming:
+        raise ValueError(f"bands ({bands}) must exceed max_hamming "
+                         f"({max_hamming}) for the pigeonhole guarantee")
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sh = simhash(df, id_col, text_col, hash_mode)
+    banded = sh.select(
+        id_col, "simhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned("simhash", i * width).bitwiseAND(F.lit(mask))
+            for i in range(bands)
+        ])).alias("band", "slice"))
+    w = W.partitionBy("band", "slice")
+    banded = banded.withColumn("_bsz", F.count("*").over(w)) \
+        .filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+    left, right = banded.alias("l"), banded.alias("r")
+    cand = (
+        left.join(right, (F.col("l.band") == F.col("r.band"))
+                  & (F.col("l.slice") == F.col("r.slice"))
+                  & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+                F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+                .cast("long").alias("hamming"))
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str, text_col: str,
                         shingle_width: int = 5, threshold: float = 0.5) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (LSH verification stage).
