@@ -32,3 +32,69 @@ def test_streaming_encode_decode(spark, tmp_path_factory):
     left = full.orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
     right = decoded.orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(left, right)
+
+
+def test_windowed_stats_with_watermark(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from varint_spark.streaming import windowed_turn_stats
+
+    src = str(tmp_path_factory.mktemp("win_src"))
+    full = transcripts.generate_spark(spark, n_conversations=60, n_hot=0)
+    full.cache().count()
+    full.write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(transcripts.TRANSCRIPT_DDL).parquet(src)
+    agg = windowed_turn_stats(stream, window="1 hour",
+                              watermark="10 minutes", group_col="role")
+    q = (agg.writeStream.format("memory").queryName("win_stats")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.win.start, r.role): (r.n_turns, r.text_bytes)
+           for r in spark.table("win_stats").collect()}
+    want = {(r.w.start, r.role): (r.n_turns, r.text_bytes)
+            for r in full.groupBy(F.window("ts", "1 hour").alias("w"), "role")
+            .agg(F.count("*").alias("n_turns"),
+                 F.sum(F.octet_length("text")).alias("text_bytes")).collect()}
+    # availableNow drains everything; append emits only watermark-closed
+    # windows, so emitted windows must match the batch aggregation exactly
+    assert got
+    for k, v in got.items():
+        assert want[k] == v
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from varint_spark.streaming import running_conversation_totals
+
+    src = str(tmp_path_factory.mktemp("state_src"))
+    ckpt = str(tmp_path_factory.mktemp("state_ckpt"))
+    out = str(tmp_path_factory.mktemp("state_out"))
+    full = transcripts.generate_spark(spark, n_conversations=40, n_hot=0)
+    full.cache().count()
+    full.filter("turn_idx % 2 = 0").write.mode("append").parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(transcripts.TRANSCRIPT_DDL).parquet(src)
+        q = (running_conversation_totals(stream).writeStream
+             .foreachBatch(lambda df, eid: df.write.mode("append").parquet(out))
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    # second wave arrives; state (turn counts) must carry across restarts
+    full.filter("turn_idx % 2 = 1").write.mode("append").parquet(src)
+    drain()
+    # parquet accumulates one row per (group, batch): the final state per
+    # conversation is the row with the highest running total
+    latest = {r.conv_id: (r.turns_seen, r.last_turn_idx)
+              for r in spark.read.parquet(out)
+              .orderBy("conv_id", "turns_seen").collect()}
+    want = {r.conv_id: (r.n, r.mx) for r in
+            full.groupBy("conv_id").agg(F.count("*").alias("n"),
+                                        F.max("turn_idx").alias("mx")).collect()}
+    for cid, (n, mx) in want.items():
+        assert latest[cid] == (n, mx), cid

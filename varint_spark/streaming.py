@@ -59,3 +59,52 @@ def decode_stream_blocks(spark: SparkSession, root: str, schema_ddl: str,
                              F.lit("/"), F.col("part_key"))
     )
     return decode_blocks(blocks, schema_ddl, shared=shared)
+
+
+def windowed_turn_stats(stream_df: DataFrame, ts_col: str = "ts",
+                        window: str = "1 hour",
+                        watermark: str = "15 minutes",
+                        group_col: str | None = "role") -> DataFrame:
+    """Watermarked tumbling-window aggregation over an arriving transcript
+    stream — the standard Structured Streaming late-data shape: rows later
+    than ``watermark`` behind the max event time are dropped, and a window
+    finalizes (append mode emits it) once the watermark passes its end.
+    All JVM-side (window + count/sum); state is bounded by
+    (windows in flight × groups)."""
+    src = stream_df.withWatermark(ts_col, watermark)
+    keys = [F.window(F.col(ts_col), window).alias("win")]
+    if group_col:
+        keys.append(F.col(group_col))
+    return src.groupBy(*keys).agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.octet_length("text")).alias("text_bytes"))
+
+
+def running_conversation_totals(stream_df: DataFrame,
+                                group_col: str = "conv_id") -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: a
+    per-conversation running turn counter that survives across
+    micro-batches (the reference has no streaming at all — SURVEY §2.B;
+    this is the Spark-native stateful extension). Emits one updated
+    (conv_id, turns_seen, last_turn_idx) row per group per batch."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdf_iter, state):
+        total, last = state.get if state.exists else (0, -1)
+        for pdf in pdf_iter:
+            total += len(pdf)
+            if len(pdf):
+                last = max(last, int(pdf["turn_idx"].max()))
+        state.update((total, last))
+        yield pd.DataFrame({group_col: [key[0]], "turns_seen": [total],
+                            "last_turn_idx": [last]})
+
+    return stream_df.groupBy(group_col).applyInPandasWithState(
+        fn,
+        outputStructType=f"{group_col} string, turns_seen long, last_turn_idx long",
+        stateStructType="turns_seen long, last_turn_idx long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
