@@ -512,6 +512,25 @@ def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         hash_mode="portable")
 
 
+def _q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second real modality through the value gate: binary-PPM (P6) image
+    payloads with stated pixel arithmetic, decoded by the pure-numpy
+    parser (multimodal.decode_ppm) inside mapInArrow; integer features
+    recomputed by the SQL oracle (same design as multimodal_real_decode)."""
+    from varint_spark.pipeline import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = multimodal.synthesize_ppm_media(docs)
+    feats = multimodal.extract_features(media, feature_dim=4,
+                                        decoder=multimodal.ppm_feature_decoder)
+    return feats.select(
+        "media_id",
+        F.element_at("features", 1).cast("long").alias("n_pixels"),
+        F.element_at("features", 2).cast("long").alias("sum_red"),
+        F.element_at("features", 3).cast("long").alias("sum_all"),
+        F.element_at("features", 4).cast("long").alias("max_byte"))
+
+
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from varint_spark.pipeline import textstats
 
@@ -796,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": _q_fingerprints,
         "multimodal_features": _q_multimodal,
         "multimodal_real_decode": _q_multimodal_real,
+        "multimodal_image_decode": _q_multimodal_image,
         "q1_pricing_summary": _q_pricing_summary,
         "set_ops_bitmap_analog": _q_set_ops,
         "bitmap_codec_algebra": _q_bitmap_codec,
@@ -1160,6 +1180,21 @@ def oracle_sql() -> dict[str, str]:
             " CAST(MAX((doc_id*31 + k*7) % 65536 - 32768) AS BIGINT)"
             "   AS max_sample"
             " FROM s GROUP BY doc_id"
+        ),
+        # real PPM decode: same oracle design as multimodal_real_decode
+        "multimodal_image_decode": (
+            "WITH d AS (SELECT doc_id, length(text) % 8 + 2 AS w,"
+            "                  doc_id % 6 + 2 AS h FROM documents),"
+            " s AS (SELECT doc_id, w, h, unnest(range(w*h*3)) AS i FROM d),"
+            " px AS (SELECT doc_id, w, h, i % 3 AS c,"
+            "  (doc_id*7 + (i // (w*3))*5 + ((i % (w*3)) // 3)*3 + i % 3) % 256"
+            "    AS v FROM s)"
+            " SELECT doc_id AS media_id,"
+            " CAST(MAX(w) * MAX(h) AS BIGINT) AS n_pixels,"
+            " CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_red,"
+            " CAST(SUM(v) AS BIGINT) AS sum_all,"
+            " CAST(MAX(v) AS BIGINT) AS max_byte"
+            " FROM px GROUP BY doc_id"
         ),
         "fingerprint_documents": _fingerprint_oracle(),
         "similarity_topk": (

@@ -356,3 +356,35 @@ def test_simhash_near_dup_band_guard():
         dedup.simhash_near_dup_pairs(None, "id", "t", max_hamming=8, bands=8)
     with pytest.raises(ValueError, match="divide"):
         dedup.simhash_near_dup_pairs(None, "id", "t", max_hamming=3, bands=7)
+
+
+def test_ppm_decoder_roundtrips_and_rejects():
+    w, h, d = 5, 3, 11
+    i = np.arange(w * h * 3, dtype=np.int64)
+    pix = ((d * 7 + (i // (w * 3)) * 5 + ((i % (w * 3)) // 3) * 3 + i % 3)
+           % 256).astype(np.uint8)
+    ppm = b"P6\n%d %d\n255\n" % (w, h) + pix.tobytes()
+    img = multimodal.decode_ppm(ppm)
+    assert img.shape == (h, w, 3)
+    np.testing.assert_array_equal(img.ravel(), pix)
+    # header comments are skipped per the spec
+    ppm_c = b"P6\n# a comment\n%d %d\n255\n" % (w, h) + pix.tobytes()
+    np.testing.assert_array_equal(multimodal.decode_ppm(ppm_c).ravel(), pix)
+    for bad in (b"", b"P5\n1 1\n255\nx", ppm[:-4],
+                b"P6\n2 2\n65535\n" + bytes(12)):
+        with pytest.raises(ValueError):
+            multimodal.decode_ppm(bad)
+
+
+def test_ppm_features_match_reference(spark, docs):
+    sub = docs.limit(30)
+    media = multimodal.synthesize_ppm_media(sub)
+    feats = multimodal.extract_features(
+        media, feature_dim=4, decoder=multimodal.ppm_feature_decoder)
+    got = {r.media_id: [int(x) for x in r.features] for r in feats.collect()}
+    for r in sub.collect():
+        w, h, d = len(r.text) % 8 + 2, r.doc_id % 6 + 2, r.doc_id
+        i = np.arange(w * h * 3, dtype=np.int64)
+        v = (d * 7 + (i // (w * 3)) * 5 + ((i % (w * 3)) // 3) * 3 + i % 3) % 256
+        assert got[d] == [w * h, int(v[i % 3 == 0].sum()), int(v.sum()),
+                          int(v.max())]

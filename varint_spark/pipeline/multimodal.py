@@ -174,6 +174,81 @@ def synthesize_wav_media(docs: DataFrame, id_col: str = "doc_id",
         udf, "media_id long, modality string, payload binary")
 
 
+# ---- real media decode: PPM (P6) images (pure numpy, no dependencies) -------
+
+
+def decode_ppm(payload) -> np.ndarray:
+    """A real binary-PPM (P6) image decoder: parse the whitespace/comment-
+    separated header (magic, width, height, maxval) and return the pixels
+    as an (h, w, 3) uint8 array. Raises ValueError on anything malformed
+    — same loud-failure contract as decode_wav."""
+    b = bytes(payload)
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(b) and b[pos:pos + 1].isspace():
+            pos += 1
+        if b[pos:pos + 1] == b"#":  # comment to end of line
+            while pos < len(b) and b[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos:pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        fields.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255 or w <= 0 or h <= 0:
+        raise ValueError(f"unsupported PPM: {w}x{h} maxval={maxval}")
+    data = b[pos:pos + w * h * 3]
+    if len(data) != w * h * 3:
+        raise ValueError("PPM data shorter than header promises")
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+def ppm_feature_decoder(payload, modality=None) -> np.ndarray:
+    """Decoder for :func:`extract_features`: real PPM decode + integer
+    features [n_pixels, sum(R channel), sum(all bytes), max byte] —
+    integer-exact in float64 for the SQL oracle."""
+    img = decode_ppm(payload).astype(np.int64)
+    return np.array([img.shape[0] * img.shape[1], img[:, :, 0].sum(),
+                     img.sum(), img.max()], dtype=np.float64)
+
+
+def synthesize_ppm_media(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Real P6 PPM payloads with SQL-derivable pixel content: document d
+    gets a ``w = length(text) % 8 + 2`` × ``h = d % 6 + 2`` RGB image with
+    byte ``(d*7 + y*5 + x*3 + c) % 256`` at row-major position (y, x, c).
+    Same gate design as synthesize_wav_media: the container + decode_ppm
+    are the only untrusted links."""
+    import pyarrow as pa_mod
+
+    def udf(iterator):
+        for tbl in iterator:
+            ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+            lens = [len(t) for t in tbl.column(text_col).to_pylist()]
+            payloads = []
+            for d, ln in zip(ids, lens):
+                d = int(d)
+                w, h = ln % 8 + 2, d % 6 + 2
+                i = np.arange(w * h * 3, dtype=np.int64)
+                y, x, c = i // (w * 3), (i % (w * 3)) // 3, i % 3
+                pix = ((d * 7 + y * 5 + x * 3 + c) % 256).astype(np.uint8)
+                payloads.append(b"P6\n%d %d\n255\n" % (w, h) + pix.tobytes())
+            yield pa_mod.RecordBatch.from_arrays(
+                [pa_mod.array(ids, type=pa_mod.int64()),
+                 pa_mod.array(["image"] * len(ids), type=pa_mod.string()),
+                 pa_mod.array(payloads, type=pa_mod.binary())],
+                names=["media_id", "modality", "payload"])
+
+    return docs.select(id_col, text_col).mapInArrow(
+        udf, "media_id long, modality string, payload binary")
+
+
 def extract_features(df: DataFrame, feature_dim: int = 32,
                      decoder=None) -> DataFrame:
     """payload -> float feature vector via mapInArrow. The only per-item
