@@ -1,0 +1,49 @@
+"""Executable plan-quality claims (ARCHITECTURE.md "Plan quality"):
+the shapes asserted in prose are checked against the physical plans, so
+a regression that adds a shuffle or un-pushes a filter fails loudly."""
+
+from __future__ import annotations
+
+from varint_spark import transcripts
+from varint_spark.engine import EncodeOptions, decode_blocks, encode_transcripts
+
+OPTS = EncodeOptions(num_buckets=4, chunk_rows=1024, salt_span=4096)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_encode_plan_has_exactly_one_shuffle(spark):
+    df = transcripts.generate_spark(spark, n_conversations=50, n_hot=0)
+    plan = _plan(encode_transcripts(df, OPTS))
+    assert plan.count("Exchange") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_column_pruned_decode_pushes_filter_into_scan(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("blocks_pq"))
+    df = transcripts.generate_spark(spark, n_conversations=50, n_hot=0)
+    encode_transcripts(df, OPTS).write.mode("overwrite").parquet(d)
+    blocks = spark.read.parquet(d)
+    dec = decode_blocks(blocks, transcripts.TRANSCRIPT_DDL,
+                        columns=["conv_id", "ts"])
+    plan = _plan(dec)
+    # the column IN (...) predicate must reach the parquet scan: pruned
+    # columns' block bytes never leave disk
+    scan_lines = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert scan_lines and any("In(column" in ln or "column" in ln
+                              for ln in scan_lines), plan
+    assert "In(column, [conv_id,ts])" in plan or "column IN" in plan, plan
+
+
+def test_roundtrip_plan_has_no_python_row_udfs(spark):
+    """The hot path is Arrow-native grouped maps — a row-at-a-time
+    BatchEvalPython stage appearing anywhere in the roundtrip plan would
+    mean a per-row Python UDF crept in."""
+    from varint_spark.engine import roundtrip
+
+    df = transcripts.generate_spark(spark, n_conversations=30, n_hot=0)
+    plan = _plan(roundtrip(df, "conv_id", "turn_idx", OPTS))
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInArrow" in plan or "FlatMapGroupsIn" in plan, plan
