@@ -66,3 +66,50 @@ def test_scalar_get64_and_errors():
     with pytest.raises(ValueError):
         tagged.decode(tagged.encode(np.arange(10, dtype=np.uint64)), 9)  # bad count
     assert len(tagged.decode(b"", None)) == 0
+
+
+# ---- encoded-form arithmetic (varintTaggedAddNoGrow / AddGrow) --------------
+
+
+def test_add_in_place_no_grow_patches_bytes():
+    v = np.array([0, 5, 100, 241, 300, 2288, 70000, 1 << 30, 1 << 50],
+                 dtype=np.uint64)
+    buf = tagged.encode(v)
+    out, regrown = tagged.add_in_place(buf, 7)
+    assert regrown == 0 and len(out) == len(buf)  # pure byte surgery
+    np.testing.assert_array_equal(tagged.decode(out), v + np.uint64(7))
+    # negative delta, still within every width class
+    out2, r2 = tagged.add_in_place(out, -7)
+    assert r2 == 0 and out2 == buf  # exact byte restoration
+
+
+def test_add_in_place_grow_across_width_boundaries():
+    v = np.array([239, 240, 2287, 67823, (1 << 24) - 1, (1 << 32) - 1],
+                 dtype=np.uint64)
+    buf = tagged.encode(v)
+    out, regrown = tagged.add_in_place(buf, 1)
+    assert regrown == 5  # every value except 239 crosses a width boundary
+    np.testing.assert_array_equal(tagged.decode(out), v + np.uint64(1))
+    # canonical: identical to a fresh encode of the new values
+    assert out == tagged.encode(v + np.uint64(1))
+
+
+def test_add_in_place_preserves_memcmp_order():
+    rng = np.random.default_rng(17)
+    v = np.unique(rng.integers(0, 1 << 48, 500, dtype=np.int64).view(np.uint64))
+    out, _ = tagged.add_in_place(tagged.encode(v), 1234)
+    b = np.frombuffer(out, dtype=np.uint8)
+    starts = tagged._stream_starts(b)
+    lens = tagged.lengths_from_first_bytes(b[starts])
+    keys = [bytes(b[s:s + l]) for s, l in zip(starts, lens)]
+    assert keys == sorted(keys)  # encoded order == value order, still
+
+
+def test_add_in_place_overflow_and_underflow_raise():
+    import pytest
+
+    buf = tagged.encode(np.array([5, (1 << 64) - 1], dtype=np.uint64))
+    with pytest.raises(OverflowError):
+        tagged.add_in_place(buf, 1)
+    with pytest.raises(OverflowError):
+        tagged.add_in_place(tagged.encode(np.array([3], dtype=np.uint64)), -4)

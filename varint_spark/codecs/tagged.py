@@ -137,6 +137,83 @@ def decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarray:
     return out
 
 
+def _stream_starts(b: np.ndarray) -> np.ndarray:
+    """Start offsets of every value in a concatenated tagged stream —
+    the pointer-doubling scan decode() uses, shared."""
+    n = len(b)
+    all_len = lengths_from_first_bytes(b)
+    jump = np.full(n + 1, n, dtype=np.int64)
+    jump[:n] = np.minimum(np.arange(n, dtype=np.int64) + all_len, n)
+    starts = np.array([0], dtype=np.int64)
+    while True:
+        nxt = jump[starts]
+        new = nxt[nxt < n]
+        merged = np.unique(np.concatenate([starts, new]))
+        if len(merged) == len(starts):
+            break
+        starts = merged
+        jump = jump[jump]
+    if int(starts[-1] + all_len[starts[-1]]) != n:
+        raise ValueError("corrupt tagged stream (overran buffer)")
+    return starts
+
+
+def add_in_place(buf: bytes | np.ndarray, delta: int) -> tuple[bytes, int]:
+    """Add ``delta`` to EVERY value of a concatenated tagged stream — the
+    reference's encoded-form arithmetic (varintTaggedAddNoGrow /
+    varintTaggedAddGrow, src/varintTagged.h:47-48, src/varintTagged.c:453,
+    457), vectorized over the whole stream.
+
+    Values whose sum still encodes in their current byte length are
+    patched by byte surgery on the BE tail — no re-layout (the NoGrow
+    path; it also preserves canonical form, since same length ⇒ same
+    width class ⇒ memcmp order still equals value order). Only when some
+    value changes width class does the stream re-encode (the Grow path —
+    the reference likewise rewrites then). Returns
+    ``(new stream bytes, number of width-changed values)``. Raises on
+    uint64 overflow/underflow — an encoded key must stay a key."""
+    b = np.frombuffer(buf, dtype=np.uint8).copy() \
+        if not isinstance(buf, np.ndarray) else buf.copy()
+    if len(b) == 0:
+        return b.tobytes(), 0
+    starts = _stream_starts(b)
+    v = decode(b)
+    if delta >= 0:
+        nv = v + _U64(delta)
+        if (nv < v).any():
+            raise OverflowError("tagged add: uint64 overflow")
+    else:
+        d = _U64(-delta)
+        if (v < d).any():
+            raise OverflowError("tagged add: underflow below 0")
+        nv = v - d
+    sizes_old = lengths_from_first_bytes(b[starts])
+    sizes_new = encoded_sizes(nv)
+    if not np.array_equal(sizes_new, sizes_old):
+        return encode(nv), int((sizes_new != sizes_old).sum())
+    for w in range(int(sizes_old.min()), int(sizes_old.max()) + 1):
+        idx = np.flatnonzero(sizes_old == w)
+        if not len(idx):
+            continue
+        vv = nv[idx]
+        base = starts[idx]
+        if w == 1:
+            b[base] = vv.astype(np.uint8)
+        elif w == 2:
+            r = vv - _U64(240)
+            b[base] = (241 + r // _U64(256)).astype(np.uint8)
+            b[base + 1] = (r % _U64(256)).astype(np.uint8)
+        elif w == 3:
+            r = vv - _U64(2288)
+            b[base + 1] = (r // _U64(256)).astype(np.uint8)
+            b[base + 2] = (r % _U64(256)).astype(np.uint8)
+        else:  # tag byte unchanged; rewrite the (w-1)-byte BE tail
+            mat = _be_bytes(vv, w - 1)
+            for j in range(w - 1):
+                b[base + 1 + j] = mat[:, j]
+    return b.tobytes(), 0
+
+
 def put64(x: int) -> bytes:
     """Single-value encode (reference varintTaggedPut64)."""
     return encode(np.array([x], dtype=np.uint64))
