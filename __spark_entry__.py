@@ -531,6 +531,31 @@ def _q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("features", 4).cast("long").alias("max_byte"))
 
 
+def _q_pipeline_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline COMPOSITION, value-gated as one
+    query: exact dedup (first doc_id per text wins) → token/quality
+    features → quality filter (≥3 tokens, punct_ratio ≤ 0.2) → language
+    ID → per-language corpus stats. The oracle replays the whole chain in
+    SQL (ROW_NUMBER dedup, the same feature expressions, same filter), so
+    operator composition — not just each operator alone — is what hashes."""
+    from varint_spark.pipeline import dedup, textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = dedup.exact_dedup(docs, ["text"], "doc_id") \
+        .filter(F.col("dup_rank") == 0).drop("dup_rank")
+    stats = textstats.token_stats(kept, "doc_id", "text")
+    qual = textstats.quality_score(kept, "doc_id", "text")
+    lang = textstats.lang_id(kept, "doc_id", "text").select("doc_id", "lang_pred")
+    joined = (stats.select("doc_id", "n_tokens", "n_chars")
+              .join(qual.select("doc_id", "punct_ratio"), "doc_id")
+              .join(lang, "doc_id")
+              .filter((F.col("n_tokens") >= 3) & (F.col("punct_ratio") <= 0.2)))
+    return joined.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"))
+
+
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from varint_spark.pipeline import textstats
 
@@ -806,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
         "text_token_stats": _q_token_stats,
+        "pipeline_dedup_quality_lang": _q_pipeline_compose,
         "text_quality_score": _q_quality,
         "text_lang_id": _q_lang_id,
         "similarity_topk": _q_similarity,
@@ -824,7 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _lang_id_oracle() -> str:
+def _lang_id_oracle(source: str = "documents") -> str:
     """Mirror of textstats.lang_id: per-language marker-hit counts, argmax
     with 'first language reaching the max wins' and 'und' on zero hits."""
     from varint_spark.pipeline.textstats import _LANG_MARKERS
@@ -841,7 +867,7 @@ def _lang_id_oracle() -> str:
     pick = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
         f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in langs) + " END"
     inner = "SELECT doc_id, " + ", ".join(
-        f"{expr} AS s_{lg}" for lg, expr in score.items()) + " FROM documents"
+        f"{expr} AS s_{lg}" for lg, expr in score.items()) + f" FROM {source}"
     return (f"SELECT doc_id, {pick} AS lang_pred, "
             + ", ".join(f"s_{lg}" for lg in langs)
             + f" FROM ({inner})")
@@ -1150,6 +1176,27 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents"
         ),
         "text_lang_id": _lang_id_oracle(),
+        # the composed pipeline replayed in SQL: ROW_NUMBER dedup, same
+        # feature expressions, same filter, same aggregation
+        "pipeline_dedup_quality_lang": (
+            "WITH kept AS (SELECT doc_id, text FROM ("
+            "  SELECT doc_id, text, ROW_NUMBER() OVER"
+            "    (PARTITION BY text ORDER BY doc_id) AS rn FROM documents)"
+            "  WHERE rn = 1),"
+            " feat AS (SELECT doc_id,"
+            r"  CAST(len(list_filter(regexp_split_to_array(text, '\s+'),"
+            "    t -> length(t) > 0)) AS INT) AS n_tokens,"
+            "  CAST(length(text) AS INT) AS n_chars,"
+            r"  round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))"
+            "    / greatest(length(text), 1), 6) AS punct_ratio FROM kept),"
+            f" lang AS ({_lang_id_oracle('kept')})"
+            " SELECT lang.lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs,"
+            "  CAST(SUM(feat.n_tokens) AS BIGINT) AS total_tokens,"
+            "  CAST(SUM(feat.n_chars) AS BIGINT) AS total_chars"
+            " FROM feat JOIN lang USING (doc_id)"
+            " WHERE feat.n_tokens >= 3 AND feat.punct_ratio <= 0.2"
+            " GROUP BY lang.lang_pred"
+        ),
         "simhash_documents": _simhash_oracle(),
         "simhash_near_dup": _simhash_neardup_oracle(),
         # fake decoder = sha256(payload) bytes / 255; payload = UTF-8 text
