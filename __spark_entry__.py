@@ -309,6 +309,50 @@ def _q_predicate_pushdown_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.unix_micros(F.to_timestamp("ts")).alias("ts_us"))
 
 
+def _q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (pandas merge_asof / DuckDB ASOF JOIN — absent
+    from Spark's DataFrame API): each purchase matched with the user's
+    latest click at-or-before it. The Spark side is the tagged-union +
+    single-window-scan plan (varint_spark.asof — one shuffle, no range-
+    join blowup); the oracle is DuckDB's NATIVE ASOF LEFT JOIN, so the
+    operator is verified against an independent engine's implementation.
+    (user_id, ts) is unique in events, so matches are deterministic."""
+    from varint_spark.asof import asof_join_backward
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"),
+        F.unix_micros(F.to_timestamp("ts")).alias("click_ts_us"))
+    out = asof_join_backward(purchases, clicks, "user_id", "ts", "ts",
+                             ["click_id", "click_ts_us"], tie_col="click_id")
+    return out.select(
+        "event_id",
+        F.coalesce(F.col("click_id_asof"), F.lit(-1)).alias("click_id"),
+        F.coalesce(F.col("click_ts_us_asof"), F.lit(0)).alias("click_ts_us"))
+
+
+def _q_range_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join without the inequality nested loop: clicks within the
+    hour before each purchase, via the bucketed band join (explode the
+    left side into ≤2 band-width buckets → equi-join on (user, bucket) →
+    exact filter; varint_spark.asof.range_join). The oracle is the plain
+    SQL inequality join — same pairs, different plan."""
+    from varint_spark.asof import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.to_timestamp("ts"))
+    p = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", us.alias("p_us"))
+    c = ev.filter(F.col("event_type") == "click") \
+        .select("user_id", F.col("event_id").alias("click_id"), us.alias("c_us"))
+    pairs = range_join(p, c, "user_id", "p_us", "c_us", -3_600_000_000, 0)
+    return pairs.groupBy("event_id").agg(
+        F.count("*").alias("n_clicks_1h"),
+        F.max("click_id").alias("max_click_id"))
+
+
 def _q_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -820,6 +864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_access_prune": _q_random_access_prune,
         "predicate_pushdown_encoded": _q_predicate_pushdown,
         "predicate_pushdown_range": _q_predicate_pushdown_range,
+        "asof_purchase_click": _q_asof_purchase_click,
+        "range_join_clicks": _q_range_join_clicks,
         "analyze_minmax_range": _q_minmax,
         "analyze_run_lengths": _q_runs,
         "analyze_cardinality": _q_cardinality,
@@ -1090,6 +1136,31 @@ def oracle_sql() -> dict[str, str]:
             " SELECT event_id, epoch_us(ts) AS ts_us FROM events, b"
             " WHERE epoch_us(ts) BETWEEN b.mn + (b.mx - b.mn) // 4"
             "                        AND b.mn + (b.mx - b.mn) // 2"
+        ),
+        # verified against DuckDB's NATIVE ASOF JOIN implementation
+        "asof_purchase_click": (
+            "WITH p AS (SELECT event_id, user_id, ts FROM events"
+            "           WHERE event_type = 'purchase'),"
+            " c AS (SELECT user_id, ts, event_id AS click_id,"
+            "       epoch_us(ts) AS click_ts_us FROM events"
+            "       WHERE event_type = 'click')"
+            " SELECT p.event_id,"
+            " COALESCE(c.click_id, -1) AS click_id,"
+            " COALESCE(c.click_ts_us, 0) AS click_ts_us"
+            " FROM p ASOF LEFT JOIN c"
+            " ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        # the oracle is the inequality join the bucketed plan replaces
+        "range_join_clicks": (
+            "WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS p_us"
+            "           FROM events WHERE event_type = 'purchase'),"
+            " c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us"
+            "       FROM events WHERE event_type = 'click')"
+            " SELECT p.event_id, CAST(COUNT(*) AS BIGINT) AS n_clicks_1h,"
+            " CAST(MAX(c.click_id) AS BIGINT) AS max_click_id"
+            " FROM p JOIN c ON p.user_id = c.user_id"
+            "  AND c.c_us BETWEEN p.p_us - 3600000000 AND p.p_us"
+            " GROUP BY p.event_id"
         ),
         "analyze_minmax_range": (
             "SELECT event_type, COUNT(*) AS cnt, MIN(user_id) AS min_uid,"
