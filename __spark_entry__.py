@@ -353,6 +353,21 @@ def _q_range_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("click_id").alias("max_click_id"))
 
 
+def _q_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup through the value gate: hourly buckets per
+    event_type with re-aggregable integer measures. The returned DAILY
+    rows are computed FROM the hourly rollup (rollup_cascade — the
+    continuous-aggregate refresh path that never rescans raw data); the
+    oracle computes the same daily rows straight from the raw table, so
+    the gate verifies the cascade identity, not just one aggregation."""
+    from varint_spark.pipeline import rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = rollup.rollup(ev, "ts", 3600, ["event_type"], value_col="value")
+    daily = rollup.rollup_cascade(hourly, 3600, 86400, ["event_type"])
+    return daily
+
+
 def _q_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -866,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predicate_pushdown_range": _q_predicate_pushdown_range,
         "asof_purchase_click": _q_asof_purchase_click,
         "range_join_clicks": _q_range_join_clicks,
+        "rollup_events_daily": _q_rollup_hourly,
         "analyze_minmax_range": _q_minmax,
         "analyze_run_lengths": _q_runs,
         "analyze_cardinality": _q_cardinality,
@@ -1149,6 +1165,17 @@ def oracle_sql() -> dict[str, str]:
             " COALESCE(c.click_ts_us, 0) AS click_ts_us"
             " FROM p ASOF LEFT JOIN c"
             " ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        # daily rows straight from raw — the Spark side cascades them
+        # from the hourly rollup, so this gates the refresh identity
+        "rollup_events_daily": (
+            "SELECT CAST(epoch_us(ts) // 86400000000 * 86400 AS BIGINT)"
+            "   AS bucket_start_s, event_type,"
+            " CAST(COUNT(*) AS BIGINT) AS n_rows,"
+            " CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)"
+            "   AS sum_mvalue,"
+            " MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us"
+            " FROM events GROUP BY 1, 2"
         ),
         # the oracle is the inequality join the bucketed plan replaces
         "range_join_clicks": (
