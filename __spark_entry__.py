@@ -615,6 +615,25 @@ def _q_pipeline_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"))
 
 
+def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full decode → resize → feature chain through the value gate:
+    PPM decode, 3×3 nearest-neighbor resize (integer index arithmetic the
+    SQL oracle replays: source pixel of output (y,x) is (y*h//3, x*w//3)),
+    integer features of the resized image."""
+    from varint_spark.pipeline import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = multimodal.synthesize_ppm_media(docs)
+    feats = multimodal.extract_features(
+        media, feature_dim=4, decoder=multimodal.ppm_resized_feature_decoder)
+    return feats.select(
+        "media_id",
+        F.element_at("features", 1).cast("long").alias("n_rpx"),
+        F.element_at("features", 2).cast("long").alias("sum_all"),
+        F.element_at("features", 3).cast("long").alias("max_byte"),
+        F.element_at("features", 4).cast("long").alias("top_left_r"))
+
+
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from varint_spark.pipeline import textstats
 
@@ -904,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal,
         "multimodal_real_decode": _q_multimodal_real,
         "multimodal_image_decode": _q_multimodal_image,
+        "multimodal_resize_chain": _q_multimodal_resize,
         "q1_pricing_summary": _q_pricing_summary,
         "set_ops_bitmap_analog": _q_set_ops,
         "bitmap_codec_algebra": _q_bitmap_codec,
@@ -1339,6 +1359,22 @@ def oracle_sql() -> dict[str, str]:
             " CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_red,"
             " CAST(SUM(v) AS BIGINT) AS sum_all,"
             " CAST(MAX(v) AS BIGINT) AS max_byte"
+            " FROM px GROUP BY doc_id"
+        ),
+        # decode -> 3x3 nearest-neighbor resize -> features, replayed in
+        # SQL via the integer index mapping (y*h//3, x*w//3)
+        "multimodal_resize_chain": (
+            "WITH d AS (SELECT doc_id, length(text) % 8 + 2 AS w,"
+            "                  doc_id % 6 + 2 AS h FROM documents),"
+            " s AS (SELECT doc_id, w, h, unnest(range(27)) AS i FROM d),"
+            " px AS (SELECT doc_id,"
+            "  (doc_id*7 + ((i // 9) * h // 3)*5 + (((i % 9) // 3) * w // 3)*3"
+            "   + i % 3) % 256 AS v, i FROM s)"
+            " SELECT doc_id AS media_id,"
+            " CAST(9 AS BIGINT) AS n_rpx,"
+            " CAST(SUM(v) AS BIGINT) AS sum_all,"
+            " CAST(MAX(v) AS BIGINT) AS max_byte,"
+            " CAST(MAX(CASE WHEN i = 0 THEN v END) AS BIGINT) AS top_left_r"
             " FROM px GROUP BY doc_id"
         ),
         "fingerprint_documents": _fingerprint_oracle(),

@@ -388,3 +388,21 @@ def test_ppm_features_match_reference(spark, docs):
         v = (d * 7 + (i // (w * 3)) * 5 + ((i % (w * 3)) // 3) * 3 + i % 3) % 256
         assert got[d] == [w * h, int(v[i % 3 == 0].sum()), int(v.sum()),
                           int(v.max())]
+
+
+def test_resize_nearest_and_frame_sampling():
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (7, 5, 3), dtype=np.int64).astype(np.uint8)
+    out = multimodal.resize_nearest(img, 3, 3)
+    assert out.shape == (3, 3, 3)
+    for y in range(3):
+        for x in range(3):
+            np.testing.assert_array_equal(out[y, x],
+                                          img[y * 7 // 3, x * 5 // 3])
+    # frame sampling: every 2nd fixed-size frame, zero-copy views
+    payload = bytes(range(100)) * 6  # 600 bytes = 6 frames of 100
+    frames = multimodal.sample_frames(payload, 100, 2)
+    assert len(frames) == 3
+    assert bytes(frames[1]) == payload[200:300]
+    with pytest.raises(ValueError):
+        multimodal.sample_frames(payload, 0, 2)

@@ -47,3 +47,37 @@ def test_roundtrip_plan_has_no_python_row_udfs(spark):
     plan = _plan(roundtrip(df, "conv_id", "turn_idx", OPTS))
     assert "BatchEvalPython" not in plan
     assert "FlatMapGroupsInArrow" in plan or "FlatMapGroupsIn" in plan, plan
+
+
+def test_range_join_avoids_nested_loop(spark):
+    """The naive inequality join plans as BroadcastNestedLoopJoin (per-key
+    |L|x|R| work); the bucketed band join must plan as a hash/sort-merge
+    equi-join on (key, bucket)."""
+    from pyspark.sql import functions as F
+
+    from varint_spark.asof import range_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    us = F.unix_micros(F.to_timestamp("ts"))
+    p = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", us.alias("p_us"))
+    c = ev.filter(F.col("event_type") == "click") \
+        .select("user_id", F.col("event_id").alias("click_id"), us.alias("c_us"))
+    plan = _plan(range_join(p, c, "user_id", "p_us", "c_us", -3_600_000_000, 0))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "Join" in plan  # an actual equi-join node on (key, bucket)
+
+
+def test_asof_join_is_one_shuffle_window_scan(spark):
+    from pyspark.sql import functions as F
+
+    from varint_spark.asof import asof_join_backward
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    c = ev.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+    plan = _plan(asof_join_backward(p, c, "user_id", "ts", "ts", ["click_id"]))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Window") == 1, plan

@@ -249,6 +249,39 @@ def synthesize_ppm_media(docs: DataFrame, id_col: str = "doc_id",
         udf, "media_id long, modality string, payload binary")
 
 
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, c) array — the pure-numpy
+    'resize' stage of the decode → resize → feature chain. Source index
+    for output (y, x) is (y*h // out_h, x*w // out_w): integer arithmetic,
+    so a SQL oracle can recompute resized pixels exactly."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return img[ys[:, None], xs[None, :]]
+
+
+def sample_frames(payload, frame_bytes: int, every_k: int) -> list:
+    """Frame-sample an opaque concatenated-fixed-size-frames video
+    payload: zero-copy memoryview slices of every k-th frame (the brief's
+    frame-sample stage; a real container parser would replace the
+    fixed-size assumption via set_decoder)."""
+    if frame_bytes <= 0 or every_k <= 0:
+        raise ValueError("frame_bytes and every_k must be positive")
+    mv = memoryview(payload)
+    n = len(mv) // frame_bytes
+    return [mv[i * frame_bytes:(i + 1) * frame_bytes]
+            for i in range(0, n, every_k)]
+
+
+def ppm_resized_feature_decoder(payload, modality=None,
+                                out_h: int = 3, out_w: int = 3) -> np.ndarray:
+    """decode → resize → feature: integer features of the nearest-neighbor
+    resized image [n_resized_pixels, sum(all), max, top-left R]."""
+    img = resize_nearest(decode_ppm(payload), out_h, out_w).astype(np.int64)
+    return np.array([out_h * out_w, img.sum(), img.max(), img[0, 0, 0]],
+                    dtype=np.float64)
+
+
 def extract_features(df: DataFrame, feature_dim: int = 32,
                      decoder=None) -> DataFrame:
     """payload -> float feature vector via mapInArrow. The only per-item
