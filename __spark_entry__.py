@@ -867,6 +867,24 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                bits=6, dim=64)
 
 
+def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization through the value gate: per-component
+    codes summarized as integers (sum/min/max) that the SQL oracle
+    recomputes with the identical double arithmetic and half-away
+    rounding — the quantizer, not just its shape, is verified."""
+    from varint_spark.pipeline import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = similarity.quantize_embeddings(embs, "vec_id", "embedding")
+    return q.select(
+        "vec_id",
+        F.size("codes").alias("dim"),
+        F.aggregate("codes", F.lit(0).cast("long"),
+                    lambda a, c: a + c).alias("sum_codes"),
+        F.array_min("codes").cast("long").alias("min_code"),
+        F.array_max("codes").cast("long").alias("max_code"))
+
+
 def _q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from varint_spark.pipeline.similarity import ivf_build, ivf_topk
 
@@ -918,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": _q_similarity,
         "similarity_topk_lsh": _q_similarity_lsh,
         "embedding_near_dup": _q_embedding_near_dup,
+        "quantize_embeddings": _q_quantize_embeddings,
         "similarity_topk_ivf": _q_similarity_ivf,
         "fingerprint_documents": _q_fingerprints,
         "multimodal_features": _q_multimodal,
@@ -1402,6 +1421,20 @@ def oracle_sql() -> dict[str, str]:
         # all-pairs exact cosine >= threshold: sound because only injected
         # exact duplicates reach 0.999 on this data (no natural pair >= 0.95)
         # and identical vectors always share every LSH sign bit
+        # same double arithmetic, same half-away rounding -> same codes
+        "quantize_embeddings": (
+            "WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v,"
+            "  list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx"
+            "  FROM embeddings),"
+            " c AS (SELECT vec_id, len(v) AS dim,"
+            "  CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))"
+            "  ELSE list_transform(v, x -> CAST(round(x / (mx / 127.0)) AS BIGINT))"
+            "  END AS codes FROM q)"
+            " SELECT vec_id, CAST(dim AS INT) AS dim,"
+            " CAST(list_sum(codes) AS BIGINT) AS sum_codes,"
+            " CAST(list_min(codes) AS BIGINT) AS min_code,"
+            " CAST(list_max(codes) AS BIGINT) AS max_code FROM c"
+        ),
         "embedding_near_dup": (
             "WITH e AS ("
             "  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"

@@ -406,3 +406,21 @@ def test_resize_nearest_and_frame_sampling():
     assert bytes(frames[1]) == payload[200:300]
     with pytest.raises(ValueError):
         multimodal.sample_frames(payload, 0, 2)
+
+
+def test_quantize_embeddings_reconstruction_bound(spark, embs):
+    q = similarity.quantize_embeddings(embs, "vec_id", "embedding")
+    rows = {r.vec_id: r for r in q.collect()}
+    for r in embs.limit(40).collect():
+        v = np.asarray(r.embedding, dtype=np.float64)
+        qr = rows[r.vec_id]
+        codes = np.asarray(qr.codes, dtype=np.float64)
+        assert len(codes) == len(v)
+        assert np.abs(codes).max() <= 127
+        # reconstruction within half a quantization step per component
+        if qr.scale > 0:
+            assert np.abs(codes * qr.scale - v).max() <= qr.scale / 2 + 1e-12
+    # all-zero vector edge: scale 0, zero codes
+    z = spark.createDataFrame([(1, [0.0] * 8)], "vec_id long, embedding array<float>")
+    zr = similarity.quantize_embeddings(z, "vec_id", "embedding").collect()[0]
+    assert zr.scale == 0.0 and list(zr.codes) == [0] * 8

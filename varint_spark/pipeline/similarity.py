@@ -184,6 +184,38 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def quantize_embeddings(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage layout ANN
+    systems pair with IVF at corpus scale (4× smaller than f32, SIMD-dot
+    friendly): ``scale = max|v| / 127``, ``code = round_half_away(v /
+    scale)``; all-zero vectors get scale 0 and zero codes. One zero-copy
+    map pass (list_matrix); reconstruction error ≤ scale/2 per component.
+    Rounding is half-away-from-zero (np.trunc(x + copysign(0.5, x))),
+    matching SQL ``round()`` exactly so codes are oracle-reproducible."""
+    import pyarrow as pa
+
+    def udf(iterator):
+        for tbl in iterator:
+            vecs = list_matrix(tbl.column(vec_col)).astype(np.float64)
+            n, dim = vecs.shape if vecs.size else (len(tbl.column(vec_col)), 0)
+            mx = np.abs(vecs).max(axis=1) if dim else np.zeros(n)
+            scale = mx / 127.0
+            safe = np.where(scale == 0, 1.0, scale)
+            q = vecs / safe[:, None]
+            codes = np.trunc(q + np.copysign(0.5, q)).astype(np.int32)
+            offs = pa.array(np.arange(n + 1, dtype=np.int32) * dim,
+                            type=pa.int32())
+            lst = pa.ListArray.from_arrays(
+                offs, pa.array(codes.ravel(), type=pa.int32()))
+            yield pa.RecordBatch.from_arrays(
+                [tbl.column(id_col), lst,
+                 pa.array(scale, type=pa.float64())],
+                names=[id_col, "codes", "scale"])
+
+    return df.select(id_col, vec_col).mapInArrow(
+        udf, f"{id_col} long, codes array<int>, scale double")
+
+
 # ---- IVF-flat ANN (inverted-file index; the scale path beyond LSH) -----------
 
 def _kmeans(sample: np.ndarray, k: int, iters: int = 8, seed: int = 42) -> np.ndarray:
