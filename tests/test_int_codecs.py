@@ -334,3 +334,39 @@ def test_candidate_list_never_drops_for():
     cands = selector.candidate_int_codecs(s)
     assert selector.FOR in cands and selector.PFOR in cands
     assert selector.ELIAS_GAMMA in cands
+
+
+def test_external_fixed_width_roundtrip_and_be_sortability():
+    """External fixed-width (ref varintExternal / varintExternalBigEndian):
+    roundtrip at every width, LE castability, and the BE property — for a
+    fixed width, memcmp order of encoded bytes == numeric order."""
+    import numpy as np
+
+    from varint_spark.codecs import external
+
+    rng = np.random.default_rng(29)
+    for width in range(1, 9):
+        hi = (1 << (8 * width)) - 1
+        v = rng.integers(0, hi, 200, dtype=np.uint64) if width < 8 else \
+            rng.integers(0, 1 << 62, 200, dtype=np.int64).view(np.uint64)
+        v[:3] = [0, 1, hi if width < 8 else (1 << 63)]
+        for be in (False, True):
+            buf = external.encode(v, width, big_endian=be)
+            assert len(buf) == width * len(v)
+            out = external.decode(buf, width, big_endian=be)
+            np.testing.assert_array_equal(out, v)
+        # LE castability: width-8 LE bytes ARE the native array
+        if width == 8:
+            assert external.encode(v, 8) == v.tobytes()
+        # BE sortability at fixed width
+        be_buf = external.encode(v, width, big_endian=True)
+        keys = [be_buf[i * width:(i + 1) * width] for i in range(len(v))]
+        order_bytes = sorted(range(len(v)), key=lambda i: keys[i])
+        order_vals = np.argsort(v, kind="stable")
+        assert [int(v[i]) for i in order_bytes] == \
+            [int(v[i]) for i in order_vals]
+    assert external.minimal_width(np.array([0], dtype=np.uint64)) == 1
+    assert external.minimal_width(np.array([255, 256], dtype=np.uint64)) == 2
+    import pytest
+    with pytest.raises(ValueError):
+        external.encode(np.array([256], dtype=np.uint64), 1)
