@@ -48,3 +48,67 @@ def test_segdelta_any_segments(seglists):
     segs = np.array([len(seg) for seg in seglists], dtype=np.int64)
     buf = segdelta.encode(v, segs)
     np.testing.assert_array_equal(segdelta.decode(buf, len(v)), v)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**63) + 1, max_value=2**63 - 1),
+                max_size=300))
+def test_elias_delta_code_any_int64(xs):
+    from varint_spark.codecs import elias
+
+    v = np.array(xs, dtype=np.int64)
+    buf = elias.encode_delta_code(v)
+    assert len(buf) == elias.encoded_size_delta_code(v) or len(v) == 0
+    np.testing.assert_array_equal(elias.decode_delta_code(buf, len(v)), v)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(I64, max_size=300), I64)
+def test_filter_ge_le_between_any_block(xs, c):
+    from varint_spark.codecs import random_access as ra
+
+    v = np.array(xs, dtype=np.int64)
+    blk = encode_int_block(v)
+    np.testing.assert_array_equal(ra.filter_ge(blk, c), v >= c)
+    np.testing.assert_array_equal(ra.filter_le(blk, c), v <= c)
+    lo, hi = (c, c + 100) if c <= 2**63 - 101 else (c - 100, c)
+    np.testing.assert_array_equal(ra.filter_between(blk, lo, hi),
+                                  (v >= lo) & (v <= hi))
+    mask = ra.filter_ge(blk, c)
+    np.testing.assert_array_equal(ra.take_mask(blk, mask), v[v >= c])
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(U64, max_size=200),
+       st.integers(min_value=-1000, max_value=1000))
+def test_tagged_add_in_place_any(xs, delta):
+    from varint_spark.codecs import tagged
+
+    v = np.array(xs, dtype=np.uint64)
+    buf = tagged.encode(v)
+    try:
+        out, _ = tagged.add_in_place(buf, delta)
+    except OverflowError:
+        lo = int(v.min()) if len(v) else 0
+        hi = int(v.max()) if len(v) else 0
+        assert (delta < 0 and lo < -delta) or \
+            (delta > 0 and hi + delta >= 1 << 64)
+        return
+    expect = (v + np.uint64(delta)) if delta >= 0 else (v - np.uint64(-delta))
+    np.testing.assert_array_equal(tagged.decode(out) if len(v) else
+                                  np.empty(0, np.uint64), expect)
+    assert out == tagged.encode(expect)  # canonical after arithmetic
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(U64, max_size=200), st.integers(min_value=1, max_value=8),
+       st.booleans())
+def test_external_fixed_width_any(xs, width, be):
+    from varint_spark.codecs import external
+
+    v = np.array(xs, dtype=np.uint64)
+    if len(v) and width < 8 and int(v.max()) >= 1 << (8 * width):
+        return  # does-not-fit is covered by the unit test
+    buf = external.encode(v, width, big_endian=be)
+    np.testing.assert_array_equal(
+        external.decode(buf, width, big_endian=be), v)
