@@ -226,3 +226,18 @@ def test_filter_le_nullable_rows_stay_false():
     assert ra.filter_le(blk, 4).tolist() == [True, False, False, False, False, True]
     assert ra.filter_between(blk, 2, 6).tolist() == \
         [False, False, True, False, False, True]
+
+
+def test_decode_blocks_where_rejects_non_integer_filter_col(spark):
+    import pytest
+
+    from varint_spark import transcripts
+    from varint_spark.engine import (EncodeOptions, decode_blocks_where,
+                                     encode_transcripts)
+
+    df = transcripts.generate_spark(spark, n_conversations=5, n_hot=0)
+    blocks = encode_transcripts(df, EncodeOptions(num_buckets=2,
+                                                  chunk_rows=256,
+                                                  salt_span=4096))
+    with pytest.raises(ValueError, match="integer/timestamp"):
+        decode_blocks_where(blocks, transcripts.TRANSCRIPT_DDL, "text", 5)

@@ -407,6 +407,12 @@ def decode_blocks_where(blocks: DataFrame, schema_ddl: str, filter_col: str,
     if filter_col not in cols:
         raise ValueError(f"filter_col {filter_col!r} must be among {cols}")
     kinds = kinds or kinds_for_ddl(schema_ddl)
+    if kinds.get(filter_col) not in ("int32", "int64", "ts", "tsntz"):
+        # f64/str/f32list blocks store bit patterns / corpora — an integer
+        # compare against them would be silently meaningless
+        raise ValueError(
+            f"encoded-form predicates need an integer/timestamp column; "
+            f"{filter_col!r} is {kinds.get(filter_col)!r}")
     fn = make_decode_where_udf(kinds, cols, filter_col, lo, hi)
     return blocks.groupBy("part_key", "chunk_id").applyInArrow(fn, schema_ddl)
 

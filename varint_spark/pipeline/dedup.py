@@ -167,7 +167,14 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     ``max_bucket_size`` is the standard degenerate-bucket skew guard
     (e.g. a boilerplate band shared by millions of docs); dropping a
     bucket can only lose pairs whose OTHER shared bands are also
-    oversized. Returns (id_a, id_b, hamming), id_a < id_b."""
+    oversized. Returns (id_a, id_b, hamming), id_a < id_b.
+
+    Band sizing at corpus scale: a band of width w has 2^w distinct
+    slices, so expected bucket size is n / 2^w and the self-join does
+    ~n² / 2^w work. For max_hamming ≤ 3 prefer ``bands=4`` (16-bit
+    slices, 65536 buckets/band — pigeonhole still holds since 4 > 3)
+    over the 8×8-bit default; beyond ~10⁹ docs the next step is
+    Manku-style sorted-prefix tables rather than wider bands."""
     if bands <= max_hamming:
         raise ValueError(f"bands ({bands}) must exceed max_hamming "
                          f"({max_hamming}) for the pigeonhole guarantee")
