@@ -241,3 +241,22 @@ def test_decode_blocks_where_rejects_non_integer_filter_col(spark):
                                                   salt_span=4096))
     with pytest.raises(ValueError, match="integer/timestamp"):
         decode_blocks_where(blocks, transcripts.TRANSCRIPT_DDL, "text", 5)
+
+
+def test_filter_bounds_outside_int64_domain():
+    from varint_spark import selector
+    from varint_spark.codecs import random_access as ra
+
+    import pyarrow as pa
+
+    v = np.array([-5, 0, 7, np.iinfo(np.int64).max,
+                  np.iinfo(np.int64).min + 1], dtype=np.int64)
+    blk = selector.encode_int_block(v)
+    assert not ra.filter_ge(blk, 1 << 70).any()
+    assert ra.filter_ge(blk, -(1 << 70)).all()
+    assert ra.filter_le(blk, 1 << 70).all()
+    assert ra.filter_between(blk, -(1 << 70), 1 << 70).all()
+    # nullable: out-of-domain bounds still exclude null rows
+    nblk = selector.encode_column(
+        pa.array([1, None, 5], type=pa.int64()), "int")
+    assert ra.filter_ge(nblk, -(1 << 70)).tolist() == [True, False, True]

@@ -283,8 +283,18 @@ def filter_ge(block: bytes | memoryview, c: int) -> np.ndarray:
       are False: SQL ``NULL >= c`` filters out)
     * DELTA / SEG_DELTA / LEB128_ZZ — inherently sequential: full decode
       (the documented fallback, same as get_range)
+
+    ``c`` outside the int64 domain resolves without touching the block:
+    above INT64_MAX nothing can be >= c; at or below INT64_MIN every
+    non-null value is (the clamp keeps the PLAIN path's np.int64(c)
+    conversion from overflowing).
     """
+    c = int(c)
     cid, count, payload = blocks.unpack_block(block)
+    if c > np.iinfo(np.int64).max:
+        return np.zeros(count, dtype=bool)
+    if c < np.iinfo(np.int64).min:
+        c = int(np.iinfo(np.int64).min)  # v >= INT64_MIN is always true
     if cid == blocks.NULLABLE:
         bitmap_len = bitpack.packed_size(count, 1)
         valid = bitpack.unpack(np.frombuffer(payload[:bitmap_len], dtype=np.uint8),
