@@ -634,6 +634,26 @@ def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("features", 4).cast("long").alias("top_left_r"))
 
 
+def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format gate: documents → JSONL (the LLM-corpus interchange
+    format) → schema-pinned FAILFAST read-back → per-language integer
+    checksums. The oracle aggregates the ORIGINAL table, so any loss in
+    the write/read (escaping, schema drift, dropped rows) hash-fails."""
+    import tempfile
+
+    from varint_spark.sources import jsonl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "lang", "text")
+    path = tempfile.mkdtemp(prefix="vs_jsonl_rt_")
+    jsonl.write_jsonl(docs, path, partitions=4)
+    back = jsonl.read_jsonl(spark, path, "doc_id long, lang string, text string")
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum(F.length("text")).cast("long").alias("sum_chars"))
+
+
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from varint_spark.pipeline import textstats
 
@@ -715,6 +735,45 @@ def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+def _q_shipping_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped selective aggregation: the filters (date band,
+    discount band, quantity cap) all push into the parquet scan —
+    Catalyst's PushedFilters do the pruning, no UDFs anywhere."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                  & (F.col("l_shipdate") < F.lit("1997-01-01"))
+                  & F.col("l_discount").between(0.03, 0.07)
+                  & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"),
+             F.count("*").alias("n_rows"))
+    )
+
+
+def _q_segment_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped join pipeline: customer (small dim, explicitly
+    BROADCAST) ⋈ orders ⋈ lineitem, revenue per order, top 10. The
+    broadcast keeps the big-side scan shuffle-free on the dim join — the
+    plan you want when customer is 1000× smaller than lineitem."""
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    j = (li.join(F.broadcast(
+            od.filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+            .join(F.broadcast(cu.filter(F.col("c_mktsegment") == "BUILDING")),
+                  od.o_custkey == F.col("c_custkey"))
+            .select("o_orderkey", "o_orderdate")),
+         F.col("l_orderkey") == F.col("o_orderkey"))
+         .filter(F.col("l_shipdate") > F.lit("1998-01-01")))
+    return (j.groupBy("l_orderkey")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2).alias("revenue"),
+                 F.count("*").alias("n_items"))
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+            .limit(10))
 
 
 def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -931,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": _q_simhash_near_dup,
         "text_token_stats": _q_token_stats,
         "pipeline_dedup_quality_lang": _q_pipeline_compose,
+        "source_roundtrip_jsonl": _q_jsonl_roundtrip,
         "text_quality_score": _q_quality,
         "text_lang_id": _q_lang_id,
         "similarity_topk": _q_similarity,
@@ -944,6 +1004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_decode": _q_multimodal_image,
         "multimodal_resize_chain": _q_multimodal_resize,
         "q1_pricing_summary": _q_pricing_summary,
+        "q6_shipping_revenue": _q_shipping_revenue,
+        "q3_segment_top_orders": _q_segment_top_orders,
         "set_ops_bitmap_analog": _q_set_ops,
         "bitmap_codec_algebra": _q_bitmap_codec,
         "tagged_sortable_keys": _q_tagged_sortable,
@@ -1313,6 +1375,14 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents"
         ),
         "text_lang_id": _lang_id_oracle(),
+        # checksums of the ORIGINAL table: the JSONL write/read must be
+        # lossless for the Spark side to match
+        "source_roundtrip_jsonl": (
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,"
+            " CAST(SUM(doc_id) AS BIGINT) AS sum_ids,"
+            " CAST(SUM(length(text)) AS BIGINT) AS sum_chars"
+            " FROM documents GROUP BY lang"
+        ),
         # the composed pipeline replayed in SQL: ROW_NUMBER dedup, same
         # feature expressions, same filter, same aggregation
         "pipeline_dedup_quality_lang": (
@@ -1444,6 +1514,25 @@ def oracle_sql() -> dict[str, str]:
             "   list_cosine_similarity(a.v, b.v) AS c"
             "   FROM e a JOIN e b ON a.vec_id < b.vec_id)"
             " SELECT id_a, id_b, round(c, 6) AS cosine FROM p WHERE c >= 0.999"
+        ),
+        "q6_shipping_revenue": (
+            "SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,"
+            " CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem"
+            " WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"
+            " AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'"
+            " AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"
+        ),
+        "q3_segment_top_orders": (
+            "SELECT l_orderkey,"
+            " ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,"
+            " CAST(COUNT(*) AS BIGINT) AS n_items"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " WHERE c_mktsegment = 'BUILDING'"
+            " AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"
+            " AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'"
+            " GROUP BY l_orderkey"
+            " ORDER BY revenue DESC, l_orderkey LIMIT 10"
         ),
         "q1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,"
