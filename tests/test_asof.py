@@ -67,3 +67,17 @@ def test_range_join_matches_bruteforce(spark):
                   for (lk, lt), (rk, rt, rid) in itertools.product(lrows, rrows)
                   if lk == rk and lt + lo <= rt <= lt + hi)
     assert got == want
+
+
+def test_guards_reject_ambiguous_inputs(spark):
+    import pytest
+
+    from varint_spark.asof import asof_join_backward, range_join
+
+    l1 = spark.createDataFrame([(1, 2)], "k long, _t long")
+    r1 = spark.createDataFrame([(1, 2, 3)], "k long, t long, v long")
+    with pytest.raises(ValueError, match="clash"):
+        asof_join_backward(l1, r1, "k", "_t", "t", ["v"])
+    l2 = spark.createDataFrame([(1, 2)], "k long, t long")
+    with pytest.raises(ValueError, match="share columns"):
+        range_join(l2, r1, "k", "t", "t", -5, 5)

@@ -44,6 +44,11 @@ def range_join(left: DataFrame, right: DataFrame, by: str,
     span = upper - lower
     if span <= 0:
         raise ValueError("upper must exceed lower")
+    shared = (set(left.columns) & set(right.columns)) - {by}
+    if shared:
+        raise ValueError(
+            f"left and right share columns besides {by!r}: {sorted(shared)} "
+            "— alias them apart (the join output would be ambiguous)")
     rb = right.withColumn("_b", F.floor(F.col(right_on) / span))
     lb = left.withColumn("_b0", F.floor((F.col(left_on) + lower) / span))
     lb = lb.withColumn("_b", F.explode(F.array(F.col("_b0"),
@@ -64,6 +69,9 @@ def asof_join_backward(left: DataFrame, right: DataFrame, by: str,
     right row is packed as a struct before the window scan, so right rows
     whose value columns are legitimately NULL still count as matches."""
     lcols = left.columns
+    clash = {"_t", "_side", "_rrow", "_tie", "_match"} & set(lcols)
+    if clash:
+        raise ValueError(f"left columns clash with internals: {sorted(clash)}")
     tie = tie_col or value_cols[0]
     sel_left = left.withColumn("_t", F.col(left_on)) \
         .withColumn("_side", F.lit(1)) \
