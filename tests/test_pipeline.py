@@ -424,3 +424,17 @@ def test_quantize_embeddings_reconstruction_bound(spark, embs):
     z = spark.createDataFrame([(1, [0.0] * 8)], "vec_id long, embedding array<float>")
     zr = similarity.quantize_embeddings(z, "vec_id", "embedding").collect()[0]
     assert zr.scale == 0.0 and list(zr.codes) == [0] * 8
+
+
+def test_new_operators_handle_empty_inputs(spark):
+    """Empty-input sweep over the round-4 operators: none may throw or
+    return phantom rows."""
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.simhash(empty_docs, "doc_id", "text").count() == 0
+    assert dedup.simhash_near_dup_pairs(empty_docs, "doc_id", "text").count() == 0
+    empty_embs = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert similarity.quantize_embeddings(empty_embs, "vec_id",
+                                          "embedding").count() == 0
+    assert similarity.lsh_buckets(empty_embs, "vec_id", "embedding").count() == 0
+    media = spark.createDataFrame([], "media_id long, modality string, payload binary")
+    assert multimodal.extract_features(media, 4).count() == 0

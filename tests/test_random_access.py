@@ -260,3 +260,21 @@ def test_filter_bounds_outside_int64_domain():
     nblk = selector.encode_column(
         pa.array([1, None, 5], type=pa.int64()), "int")
     assert ra.filter_ge(nblk, -(1 << 70)).tolist() == [True, False, True]
+
+
+def test_decode_blocks_where_empty_after_prune(spark):
+    """A predicate nothing satisfies: every chunk mask empties, the result
+    is zero rows with the right schema."""
+    from varint_spark import transcripts
+    from varint_spark.engine import (EncodeOptions, decode_blocks_where,
+                                     encode_transcripts)
+
+    df = transcripts.generate_spark(spark, n_conversations=5, n_hot=0)
+    blocks = encode_transcripts(df, EncodeOptions(num_buckets=2,
+                                                  chunk_rows=256,
+                                                  salt_span=4096))
+    out = decode_blocks_where(blocks, "conv_id string, turn_idx int",
+                              "turn_idx", 10**9,
+                              columns=["conv_id", "turn_idx"])
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["conv_id", "turn_idx"]
