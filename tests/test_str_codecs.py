@@ -140,3 +140,36 @@ def test_nullable_column_roundtrip():
     blk = selector.encode_column(strs, "str")
     out = selector.decode_column(blk)
     assert out.to_pylist() == strs.to_pylist()
+
+
+def test_entropy_gate_skips_fsst_on_random_corpus(monkeypatch):
+    """byte_entropy joins the stats pass (the north-star's 'entropy
+    stats'): near-random corpora must not pay FSST training (the encode
+    hot spot) — no symbol table can win there."""
+    import numpy as np
+    import pyarrow as pa
+
+    from varint_spark import selector
+    from varint_spark.codecs import strings
+
+    rng = np.random.default_rng(31)
+    calls = []
+    real = strings.encode_fsst
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(strings, "encode_fsst", counting)
+    # random printable ASCII, >=100 KB so the bigram estimate is trusted:
+    # H1 ~6.55 and H(next|prev) ~= H1 -> nothing for a symbol table to mine
+    rand = ["".join(chr(c) for c in rng.integers(33, 127, 60))
+            for _ in range(2000)]
+    blk = selector.encode_str_block(pa.array(rand, type=pa.large_utf8()))
+    assert not calls, "FSST trained on a near-random corpus"
+    assert selector.decode_str_block(blk).to_pylist() == rand
+    # compressible text still goes through FSST training
+    text = ["the quick brown fox jumps over the lazy dog %d" % i
+            for i in range(500)]
+    selector.encode_str_block(pa.array(text, type=pa.large_utf8()))
+    assert calls, "FSST skipped on compressible text"

@@ -212,16 +212,54 @@ class StrStats:
     count: int
     unique_ratio: float
     avg_len: float
+    byte_entropy: float  # Shannon bits/byte of the (sampled) corpus plane
+    cond_entropy: float  # H(next byte | prev byte) — FSST's signal proper
+    corpus_bytes: int
 
 
-def analyze_strings(lengths: np.ndarray, arr: pa.Array) -> StrStats:
+def byte_entropy(plane: np.ndarray) -> float:
+    """Shannon entropy (bits/byte) of a byte plane — the string analog of
+    the int stats' range/run structure: ~4-5 for natural text (FSST's
+    regime), ~6 for code/base64, up to 8.0 for random bytes."""
+    if len(plane) == 0:
+        return 0.0
+    counts = np.bincount(plane, minlength=256)
+    p = counts[counts > 0] / len(plane)
+    return float(-(p * np.log2(p)).sum())
+
+
+def conditional_byte_entropy(plane: np.ndarray) -> float:
+    """H(next byte | previous byte) from bigram counts — the FSST signal
+    proper: a byte-pair symbol table mines exactly the pair structure this
+    measures. ≈ the unigram entropy ⇒ the next byte is unpredictable from
+    the previous one and no symbol table can win. (Estimates are biased
+    low on undersampled corpora — the gate requires a minimum corpus size
+    before trusting it.)"""
+    if len(plane) < 2:
+        return 0.0
+    pairs = plane[:-1].astype(np.int32) * 256 + plane[1:]
+    counts = np.bincount(pairs, minlength=65536)
+    p = counts[counts > 0] / (len(plane) - 1)
+    h2 = float(-(p * np.log2(p)).sum())
+    return h2 - byte_entropy(plane)
+
+
+def analyze_strings(lengths: np.ndarray, arr: pa.Array,
+                    corpus: np.ndarray | None = None) -> StrStats:
     n = len(lengths)
     if n == 0:
-        return StrStats(0, 0.0, 0.0)
+        return StrStats(0, 0.0, 0.0, 0.0, 0.0, 0)
     sample = arr.slice(0, min(n, SAMPLE_THRESHOLD))
     import pyarrow.compute as pc
     unique_ratio = len(pc.unique(sample)) / len(sample)
-    return StrStats(n, unique_ratio, float(lengths.mean()))
+    ent = cond = 0.0
+    nbytes = 0
+    if corpus is not None and len(corpus):
+        nbytes = len(corpus)
+        cs = corpus[:1 << 20]  # 1 MB sample is plenty
+        ent = byte_entropy(cs)
+        cond = conditional_byte_entropy(cs)
+    return StrStats(n, unique_ratio, float(lengths.mean()), ent, cond, nbytes)
 
 
 def encode_str_block(values, shared_col=None, fsst_cache: dict | None = None,
@@ -241,7 +279,7 @@ def encode_str_block(values, shared_col=None, fsst_cache: dict | None = None,
     if n == 0:
         return blocks.pack_block(PLAIN_STR, 0, b"")
     lengths, corpus = strings.to_plane(arr)
-    s = analyze_strings(lengths, arr)
+    s = analyze_strings(lengths, arr, corpus)
     # plain is the floor; size it analytically, build only if it wins
     plain_size = int(leb128.encoded_sizes(lengths.astype(np.uint64)).sum()) + len(corpus)
     best_id, best_payload = PLAIN_STR, None
@@ -262,8 +300,19 @@ def encode_str_block(values, shared_col=None, fsst_cache: dict | None = None,
         cand = strings.encode_dict(arr, encode_int_block=encode_int_block)
         if len(cand) < best_len:
             best_id, best_payload, best_len = DICT_STR, cand, len(cand)
-    try_fsst = (s.avg_len >= 4 and best_id in (PLAIN_STR, FSST_STR_SHARED)) or (
-        best_id == DICT_STR and s.unique_ratio > 0.01 and s.avg_len >= 4)
+    # entropy gate (the north-star's 'entropy stats'): FSST training is
+    # the encode hot spot, and a symbol table mines BYTE-PAIR structure —
+    # when the conditional entropy ≈ the unigram entropy (next byte
+    # unpredictable from the previous: random/compressed/encrypted-like
+    # corpora) there is nothing to mine, so don't pay training to find
+    # that out. Gated on corpus size: bigram estimates are biased low on
+    # small corpora (where training is cheap anyway). Natural text:
+    # H1 ~4.6, H(next|prev) ~3; random ASCII: H1 ~6.6, H(next|prev) ≈ H1.
+    high_entropy = (s.corpus_bytes >= 100_000 and s.byte_entropy >= 5.8
+                    and s.cond_entropy >= 0.9 * s.byte_entropy)
+    try_fsst = not high_entropy and (
+        (s.avg_len >= 4 and best_id in (PLAIN_STR, FSST_STR_SHARED)) or (
+            best_id == DICT_STR and s.unique_ratio > 0.01 and s.avg_len >= 4))
     if try_fsst:
         reuse = fsst_cache.get(cache_key) if fsst_cache is not None else None
         res = strings.encode_fsst(arr, reuse_tables=reuse)
