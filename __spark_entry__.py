@@ -368,6 +368,27 @@ def _q_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily
 
 
+def _q_dict_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String equality pushed into the ENCODED form — the reference's
+    dictionary-find surface (varintDictFind, src/varintDict.c:151-156)
+    distributed: ``lang == 'en'`` is answered from each chunk's DICT_STR
+    dictionary (unique values only) plus an int encoded-form compare of
+    the code stream; the corpus bytes of non-matching chunks are never
+    decoded. Same rows as a plain SQL WHERE."""
+    from varint_spark.engine import (EncodeOptions, decode_blocks_where,
+                                     encode_transcripts)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "lang", "text")
+    opts = EncodeOptions(num_buckets=8, chunk_rows=2048, salt_span=2**40,
+                         group_col="lang", order_col="doc_id")
+    blocks = encode_transcripts(docs, opts)
+    dec = decode_blocks_where(blocks, "doc_id bigint, lang string",
+                              "lang", None, columns=["doc_id", "lang"],
+                              eq="en")
+    return dec
+
+
 def _q_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -978,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_click": _q_asof_purchase_click,
         "range_join_clicks": _q_range_join_clicks,
         "rollup_events_daily": _q_rollup_hourly,
+        "dict_filter_pushdown": _q_dict_filter_pushdown,
         "analyze_minmax_range": _q_minmax,
         "analyze_run_lengths": _q_runs,
         "analyze_cardinality": _q_cardinality,
@@ -1266,6 +1288,10 @@ def oracle_sql() -> dict[str, str]:
             " COALESCE(c.click_ts_us, 0) AS click_ts_us"
             " FROM p ASOF LEFT JOIN c"
             " ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        # string equality: the Spark side answers from the encoded form
+        "dict_filter_pushdown": (
+            "SELECT doc_id, lang FROM documents WHERE lang = 'en'"
         ),
         # daily rows straight from raw — the Spark side cascades them
         # from the hourly rollup, so this gates the refresh identity

@@ -278,3 +278,58 @@ def test_decode_blocks_where_empty_after_prune(spark):
                               columns=["conv_id", "turn_idx"])
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["conv_id", "turn_idx"]
+
+
+def test_str_filter_eq_dict_path_never_decodes_corpus(monkeypatch):
+    """DICT_STR equality must be answered from the dictionary + code
+    stream alone: the string-block decoder (which would expand the
+    corpus) is monkeypatched to prove it is never called; PLAIN blocks
+    legitimately fall back (guard proves the patch bites)."""
+    import pyarrow as pa
+    import pytest
+
+    from varint_spark import selector
+    from varint_spark.codecs import random_access as ra
+
+    vals = (["en"] * 40 + ["de"] * 30 + ["fr"] * 30) * 5
+    blk = selector.encode_column(pa.array(vals, type=pa.large_utf8()), "str")
+    assert "dict_str" in selector.codec_name_of(blk)
+
+    def boom(*a, **k):
+        raise AssertionError("string block decoded")
+
+    monkeypatch.setattr(selector, "decode_str_block", boom)
+    got = ra.str_filter_eq(blk, "de")
+    assert got.tolist() == [v == "de" for v in vals]
+    assert not ra.str_filter_eq(blk, "absent").any()  # dict-only answer
+    # unique strings -> plain/fsst block -> fallback decodes
+    uniq = [f"unique string value {i:05d}" for i in range(200)]
+    ublk = selector.encode_column(pa.array(uniq, type=pa.large_utf8()), "str")
+    with pytest.raises(AssertionError, match="string block decoded"):
+        ra.str_filter_eq(ublk, uniq[0])
+    monkeypatch.undo()
+    assert ra.str_filter_eq(ublk, uniq[3]).tolist() == \
+        [v == uniq[3] for v in uniq]
+
+
+def test_decode_blocks_where_str_eq(spark):
+    import pytest
+
+    from varint_spark import transcripts
+    from varint_spark.engine import (EncodeOptions, decode_blocks_where,
+                                     encode_transcripts)
+
+    df = transcripts.generate_spark(spark, n_conversations=30, n_hot=0)
+    blocks = encode_transcripts(df, EncodeOptions(num_buckets=4,
+                                                  chunk_rows=512,
+                                                  salt_span=4096))
+    out = decode_blocks_where(blocks, "conv_id string, role string",
+                              "role", None, columns=["conv_id", "role"],
+                              eq="assistant")
+    want = df.filter("role = 'assistant'").count()
+    assert out.count() == want
+    assert {r.role for r in out.collect()} == {"assistant"}
+    with pytest.raises(ValueError, match="string column"):
+        decode_blocks_where(blocks, "conv_id string, turn_idx int",
+                            "turn_idx", None, columns=["conv_id", "turn_idx"],
+                            eq="x")

@@ -381,3 +381,46 @@ def filter_between(block: bytes | memoryview, lo: int | None,
         m2 = filter_le(block, int(hi))
         mask = m2 if mask is None else (mask & m2)
     return mask
+
+
+def str_filter_eq(block: bytes | memoryview, value: str,
+                  shared_col=None) -> np.ndarray:
+    """``s == value`` evaluated on an ENCODED string block.
+
+    DICT_STR is the encoded-form path (the reference's dictionary-find
+    surface, varintDictFind src/varintDict.c:151-156): decode only the
+    dictionary (unique values — tiny), find the value's code, then
+    evaluate code equality against the codes sub-block through the int
+    encoded-form machinery (filter_between) — the corpus bytes are never
+    touched, and an absent value answers all-False from the dictionary
+    alone. NULLABLE scatters over the validity bitmap (null != anything).
+    PLAIN/FSST/shared blocks are corpus-structured: decode + compare (the
+    documented fallback, like the sequential int codecs)."""
+    cid, count, payload = blocks.unpack_block(block)
+    if cid == blocks.NULLABLE:
+        bitmap_len = bitpack.packed_size(count, 1)
+        valid = bitpack.unpack(np.frombuffer(payload[:bitmap_len],
+                                             dtype=np.uint8), 1, count).astype(bool)
+        out = np.zeros(count, dtype=bool)
+        out[valid] = str_filter_eq(payload[bitmap_len:], value, shared_col)
+        return out
+    if cid == blocks.DICT_STR:
+        from . import strings
+        mv = memoryview(payload)
+        codes_blk, pos = blocks.take_sub(mv, 0)
+        dict_blk, _ = blocks.take_sub(mv, pos)
+        _, n_uniq, dpayload = blocks.unpack_block(dict_blk)
+        uniq = strings.decode_plain(dpayload, n_uniq).to_pylist()
+        try:
+            code = uniq.index(value)
+        except ValueError:
+            return np.zeros(count, dtype=bool)
+        return filter_between(codes_blk, code, code)
+    import pyarrow.compute as pc
+
+    from ..selector import decode_str_block
+    arr = decode_str_block(block, shared_col)
+    eq = pc.equal(arr, value)
+    if eq.null_count:
+        eq = eq.fill_null(False)
+    return np.asarray(eq)

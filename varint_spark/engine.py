@@ -354,7 +354,8 @@ def decode_blocks(blocks: DataFrame, schema_ddl: str, kinds: dict[str, str] | No
 
 
 def make_decode_where_udf(kinds: dict[str, str], out_cols: list[str],
-                          filter_col: str, lo: int | None, hi: int | None = None):
+                          filter_col: str, lo: int | None, hi: int | None = None,
+                          eq: str | None = None):
     from .codecs import random_access
     from .codecs.blocks import INT_CODECS
 
@@ -363,9 +364,13 @@ def make_decode_where_udf(kinds: dict[str, str], out_cols: list[str],
         blks = table.column("block").to_pylist()
         by_col = dict(zip(names, blks))
         # the predicate runs against the ENCODED block — packed-offset
-        # compares for FOR/PFOR, header-bound 128-block pruning for BP128;
-        # surviving chunks are never fully decoded
-        mask = random_access.filter_between(by_col[filter_col], lo, hi)
+        # compares for FOR/PFOR, header-bound 128-block pruning for BP128,
+        # dictionary-find + code compare for DICT_STR equality; surviving
+        # chunks are never fully decoded
+        if eq is not None:
+            mask = random_access.str_filter_eq(by_col[filter_col], eq)
+        else:
+            mask = random_access.filter_between(by_col[filter_col], lo, hi)
         pamask = None
         arrays = []
         for col in out_cols:
@@ -387,7 +392,8 @@ def make_decode_where_udf(kinds: dict[str, str], out_cols: list[str],
 def decode_blocks_where(blocks: DataFrame, schema_ddl: str, filter_col: str,
                         lo: int | None, kinds: dict[str, str] | None = None,
                         columns: list[str] | None = None,
-                        hi: int | None = None) -> DataFrame:
+                        hi: int | None = None,
+                        eq: str | None = None) -> DataFrame:
     """decode_blocks with ``lo <= filter_col <= hi`` (either bound
     optional) pushed INTO the encoded form: the predicate is evaluated
     against each chunk's encoded block
@@ -407,13 +413,19 @@ def decode_blocks_where(blocks: DataFrame, schema_ddl: str, filter_col: str,
     if filter_col not in cols:
         raise ValueError(f"filter_col {filter_col!r} must be among {cols}")
     kinds = kinds or kinds_for_ddl(schema_ddl)
-    if kinds.get(filter_col) not in ("int32", "int64", "ts", "tsntz"):
+    if eq is not None:
+        if kinds.get(filter_col) != "str":
+            raise ValueError(f"eq= needs a string column; {filter_col!r} "
+                             f"is {kinds.get(filter_col)!r}")
+        if lo is not None or hi is not None:
+            raise ValueError("pass either eq= or lo/hi bounds, not both")
+    elif kinds.get(filter_col) not in ("int32", "int64", "ts", "tsntz"):
         # f64/str/f32list blocks store bit patterns / corpora — an integer
         # compare against them would be silently meaningless
         raise ValueError(
             f"encoded-form predicates need an integer/timestamp column; "
             f"{filter_col!r} is {kinds.get(filter_col)!r}")
-    fn = make_decode_where_udf(kinds, cols, filter_col, lo, hi)
+    fn = make_decode_where_udf(kinds, cols, filter_col, lo, hi, eq)
     return blocks.groupBy("part_key", "chunk_id").applyInArrow(fn, schema_ddl)
 
 
