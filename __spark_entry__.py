@@ -675,6 +675,17 @@ def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).cast("long").alias("sum_chars"))
 
 
+def _q_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building (the tokenizer-prep pass): corpus-wide token
+    frequencies, top 50, deterministic tie-break. The map pass emits one
+    partial-count row per DISTINCT token per batch — the raw token stream
+    never reaches a shuffle."""
+    from varint_spark.pipeline import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.vocab_top_tokens(docs, "text", k=50)
+
+
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from varint_spark.pipeline import textstats
 
@@ -1011,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
         "text_token_stats": _q_token_stats,
+        "vocab_top_tokens": _q_vocab_top,
         "pipeline_dedup_quality_lang": _q_pipeline_compose,
         "source_roundtrip_jsonl": _q_jsonl_roundtrip,
         "text_quality_score": _q_quality,
@@ -1401,6 +1413,13 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents"
         ),
         "text_lang_id": _lang_id_oracle(),
+        "vocab_top_tokens": (
+            r"WITH toks AS (SELECT unnest(list_filter("
+            r"regexp_split_to_array(text, '\s+'), t -> length(t) > 0))"
+            " AS token FROM documents)"
+            " SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM toks"
+            " GROUP BY token ORDER BY n DESC, token LIMIT 50"
+        ),
         # checksums of the ORIGINAL table: the JSONL write/read must be
         # lossless for the Spark side to match
         "source_roundtrip_jsonl": (

@@ -438,3 +438,19 @@ def test_new_operators_handle_empty_inputs(spark):
     assert similarity.lsh_buckets(empty_embs, "vec_id", "embedding").count() == 0
     media = spark.createDataFrame([], "media_id long, modality string, payload binary")
     assert multimodal.extract_features(media, 4).count() == 0
+
+
+def test_vocab_top_tokens_matches_python_counts(spark, docs):
+    from collections import Counter
+
+    got = [(r.token, r.n) for r in
+           textstats.vocab_top_tokens(docs, "text", k=30).collect()]
+    counts = Counter()
+    for r in docs.collect():
+        counts.update(t for t in r.text.split() if t)
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    assert got == want
+    # determinism across parallelism (partial counts merge identically)
+    g2 = [(r.token, r.n) for r in
+          textstats.vocab_top_tokens(docs.repartition(7), "text", k=30).collect()]
+    assert g2 == want

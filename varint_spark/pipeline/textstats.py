@@ -82,6 +82,32 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                          *[F.col(f"s_{lg}") for lg in langs])
 
 
+def vocab_top_tokens(df: DataFrame, text_col: str, k: int = 1000) -> DataFrame:
+    """Corpus token frequencies, top-k — the vocabulary-building pass a
+    BPE/tokenizer pipeline runs first. Scale shape: one mapInArrow pass
+    produces PARTIAL counts per batch (Arrow split_whitespace +
+    value_counts — no Python per token), so the shuffle carries one row
+    per DISTINCT token per partition, never the raw token stream; the
+    groupBy then sums partials (map-side combine on top). Deterministic
+    order: count desc, then token."""
+    import pyarrow as pa_mod
+    import pyarrow.compute as pc
+
+    def udf(iterator):
+        for tbl in iterator:
+            toks = pc.list_flatten(
+                pc.utf8_split_whitespace(tbl.column(text_col)))
+            toks = toks.filter(pc.greater(pc.utf8_length(toks), 0))
+            vc = toks.value_counts()
+            yield pa_mod.RecordBatch.from_arrays(
+                [vc.field("values"), vc.field("counts")],
+                names=["token", "cnt"])
+
+    partials = df.select(text_col).mapInArrow(udf, "token string, cnt long")
+    return (partials.groupBy("token").agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("token")).limit(k))
+
+
 def make_fingerprint_udf(id_name: str, text_name: str, window: int = 16,
                          portable: bool = False):
     """Winnowing-style fingerprint: min rolling hash over each document
