@@ -389,6 +389,46 @@ def _q_dict_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dec
 
 
+def _q_str_prefix_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``lang LIKE 'e%'`` pushed into the ENCODED form: the sorted
+    dictionary (strings.encode_dict, reference qsort+unique build
+    src/varintDict.c:95-224) turns the prefix into one contiguous code
+    range via lower/upper bound (the varintDictFind binary-search
+    surface, src/varintDict.c:151-156), answered by a single int
+    range-compare of the code stream — corpus bytes of non-matching
+    chunks are never decoded. Same rows as a plain SQL LIKE."""
+    from varint_spark.engine import (EncodeOptions, decode_blocks_where,
+                                     encode_transcripts)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "lang", "text")
+    opts = EncodeOptions(num_buckets=8, chunk_rows=2048, salt_span=2**40,
+                         group_col="lang", order_col="doc_id")
+    blocks = encode_transcripts(docs, opts)
+    return decode_blocks_where(blocks, "doc_id bigint, lang string",
+                               "lang", None, columns=["doc_id", "lang"],
+                               prefix="e")
+
+
+def _q_str_in_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``lang IN ('de','fr','zh')`` on the ENCODED form: sorted
+    multi-find — each probe binary-searched in the dictionary, adjacent
+    codes coalesced into ranges, one encoded-form range-compare per
+    range. Chunks whose dictionary holds none of the probes answer
+    all-False without touching the code stream."""
+    from varint_spark.engine import (EncodeOptions, decode_blocks_where,
+                                     encode_transcripts)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "lang", "text")
+    opts = EncodeOptions(num_buckets=8, chunk_rows=2048, salt_span=2**40,
+                         group_col="lang", order_col="doc_id")
+    blocks = encode_transcripts(docs, opts)
+    return decode_blocks_where(blocks, "doc_id bigint, lang string",
+                               "lang", None, columns=["doc_id", "lang"],
+                               isin=["de", "fr", "zh"])
+
+
 def _q_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -991,7 +1031,14 @@ def _q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict order IS the driver's execution order. The two queries that
+    # missed the r4 artifact (registry tail truncated against the gate
+    # budget) now run FIRST, and the rest are ordered roughly cheapest
+    # to most expensive so a budget cut can only ever shave the tail of
+    # already-multiply-verified heavy queries.
     return {
+        "tagged_sortable_keys": _q_tagged_sortable,
+        "topk_per_group": _q_topk_per_group,
         "roundtrip_events": _rt("events", "user_id", "event_id"),
         "roundtrip_orders": _rt("orders", "o_custkey", "o_orderkey"),
         "roundtrip_lineitem": _rt("lineitem", "l_orderkey", "l_linenumber"),
@@ -1011,6 +1058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_clicks": _q_range_join_clicks,
         "rollup_events_daily": _q_rollup_hourly,
         "dict_filter_pushdown": _q_dict_filter_pushdown,
+        "str_prefix_pushdown": _q_str_prefix_pushdown,
+        "str_in_pushdown": _q_str_in_pushdown,
         "analyze_minmax_range": _q_minmax,
         "analyze_run_lengths": _q_runs,
         "analyze_cardinality": _q_cardinality,
@@ -1042,8 +1091,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_segment_top_orders": _q_segment_top_orders,
         "set_ops_bitmap_analog": _q_set_ops,
         "bitmap_codec_algebra": _q_bitmap_codec,
-        "tagged_sortable_keys": _q_tagged_sortable,
-        "topk_per_group": _q_topk_per_group,
     }
 
 
@@ -1304,6 +1351,15 @@ def oracle_sql() -> dict[str, str]:
         # string equality: the Spark side answers from the encoded form
         "dict_filter_pushdown": (
             "SELECT doc_id, lang FROM documents WHERE lang = 'en'"
+        ),
+        # prefix / IN-list: the Spark side answers both from the sorted
+        # dictionary + code-stream range compares, never the corpus
+        "str_prefix_pushdown": (
+            "SELECT doc_id, lang FROM documents WHERE lang LIKE 'e%'"
+        ),
+        "str_in_pushdown": (
+            "SELECT doc_id, lang FROM documents"
+            " WHERE lang IN ('de', 'fr', 'zh')"
         ),
         # daily rows straight from raw — the Spark side cascades them
         # from the hourly rollup, so this gates the refresh identity

@@ -333,3 +333,102 @@ def test_decode_blocks_where_str_eq(spark):
         decode_blocks_where(blocks, "conv_id string, turn_idx int",
                             "turn_idx", None, columns=["conv_id", "turn_idx"],
                             eq="x")
+
+
+def test_str_filter_prefix_and_in_never_decode_corpus(monkeypatch):
+    """Prefix and IN-list over DICT_STR must be answered from the sorted
+    dictionary (lower/upper bound) + int range-compares of the code
+    stream; the corpus decoder is patched to prove it never runs. The
+    fixture includes multibyte strings: Arrow's sort and Python's bisect
+    must agree (UTF-8 bytewise order == code-point order)."""
+    import pyarrow as pa
+    import pytest
+
+    from varint_spark import selector
+    from varint_spark.codecs import random_access as ra
+
+    base = ["en", "en-US", "enx", "e", "de", "fr", "és", "é", "zh"]
+    vals = base * 40
+
+    blk = selector.encode_column(pa.array(vals, type=pa.large_utf8()), "str")
+    assert "dict_str" in selector.codec_name_of(blk)
+
+    def boom(*a, **k):
+        raise AssertionError("string block decoded")
+
+    monkeypatch.setattr(selector, "decode_str_block", boom)
+    for p in ["en", "e", "é", "", "qq", "en-US-x"]:
+        got = ra.str_filter_prefix(blk, p)
+        assert got.tolist() == [v.startswith(p) for v in vals], p
+    for probe in [["de", "zh"], ["en", "en-US", "enx"], ["absent"], [],
+                  ["é", "absent", "fr"]]:
+        got = ra.str_filter_in(blk, probe)
+        assert got.tolist() == [v in probe for v in vals], probe
+    # corpus-structured blocks legitimately fall back (patch bites)
+    uniq = [f"unique string value {i:05d}" for i in range(200)]
+    ublk = selector.encode_column(pa.array(uniq, type=pa.large_utf8()), "str")
+    with pytest.raises(AssertionError, match="string block decoded"):
+        ra.str_filter_prefix(ublk, "unique")
+    monkeypatch.undo()
+    assert ra.str_filter_prefix(ublk, "unique string value 0000").sum() == 10
+    assert ra.str_filter_in(ublk, [uniq[3], uniq[7]]).sum() == 2
+
+
+def test_str_filter_shared_dict_encoded_form(monkeypatch):
+    """DICT_STR_SHARED blocks (codes against the broadcast sorted dict)
+    take the same encoded-form path when the shared tables are at hand —
+    the dictionary is never stored in the block, so only the codes
+    sub-block is touched."""
+    import pyarrow as pa
+
+    from varint_spark import selector
+    from varint_spark.codecs import blocks, random_access as ra, strings
+
+    vals = (["alpha"] * 5 + ["beta"] * 3 + ["gamma"] * 2) * 30
+    dict_arr = pa.array(sorted(set(vals)), type=pa.large_utf8())
+    digest = "0123456789abcdef"
+    payload = strings.encode_dict_shared(
+        pa.array(vals, type=pa.large_utf8()), digest, dict_arr,
+        selector.encode_int_block)
+    blk = blocks.pack_block(blocks.DICT_STR_SHARED, len(vals), payload)
+    shared_col = (digest, dict_arr, None)
+
+    def boom(*a, **k):
+        raise AssertionError("string block decoded")
+
+    monkeypatch.setattr(selector, "decode_str_block", boom)
+    assert ra.str_filter_eq(blk, "beta", shared_col).tolist() == \
+        [v == "beta" for v in vals]
+    assert ra.str_filter_prefix(blk, "ga", shared_col).tolist() == \
+        [v.startswith("ga") for v in vals]
+    assert ra.str_filter_in(blk, ["alpha", "gamma"], shared_col).tolist() == \
+        [v in ("alpha", "gamma") for v in vals]
+
+
+def test_decode_blocks_where_str_prefix_and_in(spark):
+    import pytest
+
+    from varint_spark import transcripts
+    from varint_spark.engine import (EncodeOptions, decode_blocks_where,
+                                     encode_transcripts)
+
+    df = transcripts.generate_spark(spark, n_conversations=30, n_hot=0)
+    blocks = encode_transcripts(df, EncodeOptions(num_buckets=4,
+                                                  chunk_rows=512,
+                                                  salt_span=4096))
+    out = decode_blocks_where(blocks, "conv_id string, role string",
+                              "role", None, columns=["conv_id", "role"],
+                              prefix="assis")
+    assert out.count() == df.filter("role LIKE 'assis%'").count()
+    assert {r.role for r in out.collect()} == {"assistant"}
+
+    out = decode_blocks_where(blocks, "conv_id string, role string",
+                              "role", None, columns=["conv_id", "role"],
+                              isin=["user", "system"])
+    assert out.count() == df.filter("role IN ('user', 'system')").count()
+    assert {r.role for r in out.collect()} == {"user", "system"}
+
+    with pytest.raises(ValueError, match="at most one"):
+        decode_blocks_where(blocks, "conv_id string, role string",
+                            "role", None, columns=["conv_id", "role"],
+                            eq="user", prefix="use")

@@ -383,44 +383,135 @@ def filter_between(block: bytes | memoryview, lo: int | None,
     return mask
 
 
-def str_filter_eq(block: bytes | memoryview, value: str,
-                  shared_col=None) -> np.ndarray:
-    """``s == value`` evaluated on an ENCODED string block.
+def _dict_codes_and_entries(cid, payload, shared_col):
+    """DICT_STR / DICT_STR_SHARED payload -> (codes sub-block, sorted
+    dictionary entries as a Python list).
 
-    DICT_STR is the encoded-form path (the reference's dictionary-find
-    surface, varintDictFind src/varintDict.c:151-156): decode only the
-    dictionary (unique values — tiny), find the value's code, then
-    evaluate code equality against the codes sub-block through the int
-    encoded-form machinery (filter_between) — the corpus bytes are never
-    touched, and an absent value answers all-False from the dictionary
-    alone. NULLABLE scatters over the validity bitmap (null != anything).
-    PLAIN/FSST/shared blocks are corpus-structured: decode + compare (the
-    documented fallback, like the sequential int codecs)."""
+    Both layouts store codes against a SORTED dictionary (local dicts:
+    strings.encode_dict sorts; broadcast dicts: shared.py builds them
+    with sorted()), so code order == string order and every string
+    predicate below reduces to integer ranges over the code stream —
+    the reference's sorted-dict binary-search surface (varintDictFind,
+    src/varintDict.c:151-156). Corpus bytes are never touched."""
+    from . import strings
+    mv = memoryview(payload)
+    if cid == blocks.DICT_STR:
+        codes_blk, pos = blocks.take_sub(mv, 0)
+        dict_blk, _ = blocks.take_sub(mv, pos)
+        _, n_uniq, dpayload = blocks.unpack_block(dict_blk)
+        return codes_blk, strings.decode_plain(dpayload, n_uniq).to_pylist()
+    digest, shared_dict, _ = shared_col
+    got = bytes(mv[:16]).decode("ascii")
+    if got != digest:
+        raise ValueError(f"shared-dict digest mismatch: block={got} tables={digest}")
+    codes_blk, _ = blocks.take_sub(mv, 16)
+    return codes_blk, shared_dict.to_pylist()
+
+
+def _str_dict_dispatch(block, shared_col, dict_fn, fallback_pc_fn):
+    """Common skeleton for encoded-form string predicates: NULLABLE
+    scatter (null rows False — SQL three-valued logic filters them out),
+    sorted-dict fast path for DICT_STR always and DICT_STR_SHARED when
+    the broadcast tables are at hand, decode+Arrow-compute fallback for
+    corpus-structured blocks (PLAIN/FSST — same documented fallback as
+    the sequential int codecs)."""
     cid, count, payload = blocks.unpack_block(block)
     if cid == blocks.NULLABLE:
         bitmap_len = bitpack.packed_size(count, 1)
         valid = bitpack.unpack(np.frombuffer(payload[:bitmap_len],
                                              dtype=np.uint8), 1, count).astype(bool)
         out = np.zeros(count, dtype=bool)
-        out[valid] = str_filter_eq(payload[bitmap_len:], value, shared_col)
+        out[valid] = _str_dict_dispatch(payload[bitmap_len:], shared_col,
+                                        dict_fn, fallback_pc_fn)
         return out
-    if cid == blocks.DICT_STR:
-        from . import strings
-        mv = memoryview(payload)
-        codes_blk, pos = blocks.take_sub(mv, 0)
-        dict_blk, _ = blocks.take_sub(mv, pos)
-        _, n_uniq, dpayload = blocks.unpack_block(dict_blk)
-        uniq = strings.decode_plain(dpayload, n_uniq).to_pylist()
-        try:
-            code = uniq.index(value)
-        except ValueError:
-            return np.zeros(count, dtype=bool)
-        return filter_between(codes_blk, code, code)
-    import pyarrow.compute as pc
-
+    if cid == blocks.DICT_STR or (cid == blocks.DICT_STR_SHARED
+                                  and shared_col is not None):
+        codes_blk, uniq = _dict_codes_and_entries(cid, payload, shared_col)
+        return dict_fn(codes_blk, uniq, count)
     from ..selector import decode_str_block
-    arr = decode_str_block(block, shared_col)
-    eq = pc.equal(arr, value)
-    if eq.null_count:
-        eq = eq.fill_null(False)
-    return np.asarray(eq)
+    mask = fallback_pc_fn(decode_str_block(block, shared_col))
+    if mask.null_count:
+        mask = mask.fill_null(False)
+    return np.asarray(mask)
+
+
+def str_filter_eq(block: bytes | memoryview, value: str,
+                  shared_col=None) -> np.ndarray:
+    """``s == value`` evaluated on an ENCODED string block: binary-search
+    the sorted dictionary for the value's code (varintDictFind,
+    src/varintDict.c:151-156), then code equality against the codes
+    sub-block through the int encoded-form machinery (filter_between).
+    An absent value answers all-False from the dictionary alone."""
+    import bisect
+
+    def on_dict(codes_blk, uniq, count):
+        i = bisect.bisect_left(uniq, value)
+        if i == len(uniq) or uniq[i] != value:
+            return np.zeros(count, dtype=bool)
+        return filter_between(codes_blk, i, i)
+
+    import pyarrow.compute as pc
+    return _str_dict_dispatch(block, shared_col, on_dict,
+                              lambda arr: pc.equal(arr, value))
+
+
+def str_filter_prefix(block: bytes | memoryview, prefix: str,
+                      shared_col=None) -> np.ndarray:
+    """``s LIKE 'prefix%'`` on the ENCODED form: the sorted dictionary
+    turns the prefix into ONE contiguous code range — lower/upper bound
+    via binary search keyed on the length-``len(prefix)`` truncation
+    (truncation is order-preserving over a sorted list, so the matches
+    are exactly [lo, hi)) — then a single int range-compare of the code
+    stream, the same filter_between shape as the int predicates.
+    Non-matching chunks answer from the dictionary alone."""
+    import bisect
+    k = len(prefix)
+
+    def on_dict(codes_blk, uniq, count):
+        lo = bisect.bisect_left(uniq, prefix, key=lambda e: e[:k])
+        hi = bisect.bisect_right(uniq, prefix, key=lambda e: e[:k])
+        if hi == lo:
+            return np.zeros(count, dtype=bool)
+        return filter_between(codes_blk, lo, hi - 1)
+
+    import pyarrow.compute as pc
+    return _str_dict_dispatch(block, shared_col, on_dict,
+                              lambda arr: pc.starts_with(arr, prefix))
+
+
+def str_filter_in(block: bytes | memoryview, values,
+                  shared_col=None) -> np.ndarray:
+    """``s IN (values)`` on the ENCODED form: sorted multi-find — binary
+    search each probe value's code, coalesce adjacent codes into
+    contiguous ranges, OR one filter_between per range (an IN-list of k
+    values costs at most k bit-sliced range passes over the code stream,
+    usually fewer after coalescing; k is query-literal-sized). Chunks
+    whose dictionary contains none of the values answer all-False
+    without touching the code stream."""
+    import bisect
+    probes = sorted(set(values))
+
+    def on_dict(codes_blk, uniq, count):
+        codes = []
+        for v in probes:
+            i = bisect.bisect_left(uniq, v)
+            if i < len(uniq) and uniq[i] == v:
+                codes.append(i)
+        if not codes:
+            return np.zeros(count, dtype=bool)
+        ranges, start = [], codes[0]
+        for prev, cur in zip(codes, codes[1:]):
+            if cur != prev + 1:
+                ranges.append((start, prev))
+                start = cur
+        ranges.append((start, codes[-1]))
+        out = np.zeros(count, dtype=bool)
+        for lo, hi in ranges:
+            out |= filter_between(codes_blk, lo, hi)
+        return out
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    return _str_dict_dispatch(
+        block, shared_col, on_dict,
+        lambda arr: pc.is_in(arr, value_set=pa.array(probes, type=arr.type)))

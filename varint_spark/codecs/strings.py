@@ -75,13 +75,28 @@ def decode_plain(buf: memoryview | bytes, count: int) -> pa.Array:
 
 def encode_dict(values, encode_int_block=None) -> bytes:
     """Dictionary-encode; ``encode_int_block(int64 array) -> block bytes``
-    defaults to the adaptive selector (lazy import avoids a cycle)."""
+    defaults to the adaptive selector (lazy import avoids a cycle).
+
+    The dictionary is stored SORTED (the reference builds its dict via
+    qsort + unique, src/varintDict.c:95-224): code order == string order,
+    so equality is a binary search (varintDictFind) and prefix/range
+    string predicates become ONE contiguous code range answered by the
+    int encoded-form compare machinery (random_access.str_filter_prefix).
+    Sorting is also what makes block bytes deterministic — Arrow's
+    dictionary_encode() alone yields first-occurrence order, which
+    depends on row order within the chunk."""
     if encode_int_block is None:
         from ..selector import encode_int_block  # noqa: PLC0415
+    import pyarrow.compute as pc
     arr = values if isinstance(values, pa.Array) else pa.array(values, type=pa.large_utf8())
     denc = arr.dictionary_encode()
     codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     uniq = denc.dictionary
+    order = pc.sort_indices(uniq).to_numpy().astype(np.int64)
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(len(order), dtype=np.int64)
+    codes = rank[codes]
+    uniq = uniq.take(pa.array(order))
     return blocks.put_sub(encode_int_block(codes)) + blocks.put_sub(
         blocks.pack_block(blocks.PLAIN_STR, len(uniq), encode_plain(uniq))
     )

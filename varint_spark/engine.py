@@ -355,7 +355,8 @@ def decode_blocks(blocks: DataFrame, schema_ddl: str, kinds: dict[str, str] | No
 
 def make_decode_where_udf(kinds: dict[str, str], out_cols: list[str],
                           filter_col: str, lo: int | None, hi: int | None = None,
-                          eq: str | None = None):
+                          eq: str | None = None, prefix: str | None = None,
+                          isin: list[str] | None = None):
     from .codecs import random_access
     from .codecs.blocks import INT_CODECS
 
@@ -365,10 +366,15 @@ def make_decode_where_udf(kinds: dict[str, str], out_cols: list[str],
         by_col = dict(zip(names, blks))
         # the predicate runs against the ENCODED block — packed-offset
         # compares for FOR/PFOR, header-bound 128-block pruning for BP128,
-        # dictionary-find + code compare for DICT_STR equality; surviving
+        # sorted-dictionary find (eq) / lower-upper-bound code range
+        # (prefix) / coalesced multi-find (isin) for DICT_STR; surviving
         # chunks are never fully decoded
         if eq is not None:
             mask = random_access.str_filter_eq(by_col[filter_col], eq)
+        elif prefix is not None:
+            mask = random_access.str_filter_prefix(by_col[filter_col], prefix)
+        elif isin is not None:
+            mask = random_access.str_filter_in(by_col[filter_col], isin)
         else:
             mask = random_access.filter_between(by_col[filter_col], lo, hi)
         pamask = None
@@ -393,7 +399,9 @@ def decode_blocks_where(blocks: DataFrame, schema_ddl: str, filter_col: str,
                         lo: int | None, kinds: dict[str, str] | None = None,
                         columns: list[str] | None = None,
                         hi: int | None = None,
-                        eq: str | None = None) -> DataFrame:
+                        eq: str | None = None,
+                        prefix: str | None = None,
+                        isin: list[str] | None = None) -> DataFrame:
     """decode_blocks with ``lo <= filter_col <= hi`` (either bound
     optional) pushed INTO the encoded form: the predicate is evaluated
     against each chunk's encoded block
@@ -413,19 +421,24 @@ def decode_blocks_where(blocks: DataFrame, schema_ddl: str, filter_col: str,
     if filter_col not in cols:
         raise ValueError(f"filter_col {filter_col!r} must be among {cols}")
     kinds = kinds or kinds_for_ddl(schema_ddl)
-    if eq is not None:
+    str_preds = {"eq": eq, "prefix": prefix, "isin": isin}
+    given = [k for k, v in str_preds.items() if v is not None]
+    if len(given) > 1:
+        raise ValueError(f"pass at most one string predicate, got {given}")
+    if given:
         if kinds.get(filter_col) != "str":
-            raise ValueError(f"eq= needs a string column; {filter_col!r} "
-                             f"is {kinds.get(filter_col)!r}")
+            raise ValueError(f"{given[0]}= needs a string column; "
+                             f"{filter_col!r} is {kinds.get(filter_col)!r}")
         if lo is not None or hi is not None:
-            raise ValueError("pass either eq= or lo/hi bounds, not both")
+            raise ValueError(f"pass either {given[0]}= or lo/hi bounds, not both")
     elif kinds.get(filter_col) not in ("int32", "int64", "ts", "tsntz"):
         # f64/str/f32list blocks store bit patterns / corpora — an integer
         # compare against them would be silently meaningless
         raise ValueError(
             f"encoded-form predicates need an integer/timestamp column; "
             f"{filter_col!r} is {kinds.get(filter_col)!r}")
-    fn = make_decode_where_udf(kinds, cols, filter_col, lo, hi, eq)
+    fn = make_decode_where_udf(kinds, cols, filter_col, lo, hi, eq, prefix,
+                               list(isin) if isin is not None else None)
     return blocks.groupBy("part_key", "chunk_id").applyInArrow(fn, schema_ddl)
 
 
