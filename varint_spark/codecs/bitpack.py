@@ -32,7 +32,11 @@ def pack(values: np.ndarray, width: int) -> bytes:
         return b""
     if width > 64:
         raise ValueError(f"width {width} > 64")
-    byte_view = v.view(np.uint8).reshape(n, 8)
+    # only the ceil(width/8) low-order bytes can carry set bits — expanding
+    # just those keeps the unpackbits work proportional to width instead of
+    # a flat 64 bits/value (same output bytes)
+    nb = (width + 7) // 8
+    byte_view = np.ascontiguousarray(v.view(np.uint8).reshape(n, 8)[:, :nb])
     bits = np.unpackbits(byte_view, axis=1, bitorder="little")[:, :width]
     return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
 

@@ -66,14 +66,73 @@ def _unzigzag(u: np.ndarray) -> np.ndarray:
     return ((u >> _U64(1)).view(np.int64)) ^ -(u & _U64(1)).view(np.int64)
 
 
+_SMALL_BITLEN = np.array([max(i.bit_length(), 0) for i in range(256)],
+                         dtype=np.int64)
+
+
 def _bitlen(m: np.ndarray) -> np.ndarray:
     """Exact bit length of uint64 m ≥ 1. frexp's exponent e is either the
     true bit length b or b+1 (the f64 conversion rounds up across a power
-    of two for m ≥ 2^53) — one uint64 compare settles it exactly."""
+    of two for m ≥ 2^53) — one uint64 compare settles it exactly. Byte-
+    range inputs (the length-of-lengths stream is always ≤ 64) take a
+    256-entry lookup instead of the float round trip."""
+    if len(m) and m.max() < _U64(256):
+        return _SMALL_BITLEN[m.astype(np.int64)]
     e = np.frexp(m.astype(np.float64))[1].astype(np.int64)
     shift = np.minimum(e, 64) - 1  # e==65 only for m near 2^64: bitlen 64
     over = m < (_U64(1) << shift.astype(np.uint64))
     return np.where(over, e - 1, np.minimum(e, 64))
+
+
+def _length_groups(L: np.ndarray):
+    """ONE stable argsort -> [(Lv, contiguous index slice)] in ascending
+    length order, original order preserved within each group — the same
+    groups (same bytes) the old per-unique ``m[L == Lv]`` masking built,
+    but without an O(n) pass per distinct length (35 distinct lengths on
+    the octave fixture made that the slowest kernel in BENCH; this is the
+    leb128 width-bucket layout applied here). Bit lengths fit uint8,
+    where numpy's stable sort is a radix sort — ~17× the int64 path."""
+    order = np.argsort(L.astype(np.uint8), kind="stable")
+    Ls = L[order]
+    bounds = np.flatnonzero(np.diff(Ls)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(L)]])
+    return order, [(int(Ls[s]), slice(int(s), int(e)))
+                   for s, e in zip(starts, ends)]
+
+
+def _pack_tails(m: np.ndarray, L: np.ndarray, parts: list) -> None:
+    """Append the mantissa-tail planes (grouped by bit length, ascending)
+    to ``parts`` — shared by the gamma and delta-code encoders."""
+    order, groups = _length_groups(L)
+    ms = m[order]
+    for Lv, sl in groups:
+        if Lv == 1:
+            continue  # the leading 1 is implied; no tail bits
+        tails = ms[sl] & ((_U64(1) << _U64(Lv - 1)) - _U64(1))
+        parts.append(bitpack.pack(tails, Lv - 1))
+
+
+def _unpack_tails(mv: memoryview, pos: int, L: np.ndarray, count: int
+                  ) -> tuple[np.ndarray, int]:
+    """Inverse of _pack_tails: rebuild the values from the grouped tail
+    planes with ONE stable argsort + inverse scatter (no per-length
+    full-array masking)."""
+    m = np.empty(count, dtype=np.uint64)
+    order, groups = _length_groups(L)
+    ms = np.empty(count, dtype=np.uint64)
+    for Lv, sl in groups:
+        c = sl.stop - sl.start
+        if Lv == 1:
+            ms[sl] = 1
+            continue
+        nb = bitpack.packed_size(c, Lv - 1)
+        tails = bitpack.unpack(
+            np.frombuffer(mv[pos:pos + nb], dtype=np.uint8), Lv - 1, c)
+        pos += nb
+        ms[sl] = (_U64(1) << _U64(Lv - 1)) | tails.view(np.uint64)
+    m[order] = ms
+    return m, pos
 
 
 def encode_stream(m: np.ndarray) -> bytes:
@@ -94,11 +153,7 @@ def encode_stream(m: np.ndarray) -> bytes:
     u_bits[u_ends - 1] = True
     unary = np.packbits(u_bits).tobytes()
     parts = [blocks.put_uvarint(len(unary)), unary]
-    for Lv in np.unique(L):
-        if Lv == 1:
-            continue  # no tail bits
-        tails = (m[L == Lv] & ((_U64(1) << _U64(Lv - 1)) - _U64(1))).astype(np.int64)
-        parts.append(bitpack.pack(tails, int(Lv) - 1))
+    _pack_tails(m, L, parts)
     return b"".join(parts)
 
 
@@ -116,21 +171,7 @@ def _decode_stream_consumed(buf: bytes | memoryview, count: int
     ones = np.flatnonzero(u_bits)[:count]
     L = np.diff(ones, prepend=-1)  # gap between unary terminators = bitlen
     pos += u_nbytes
-    m = np.empty(count, dtype=np.uint64)
-    counts = np.bincount(L, minlength=66)
-    for Lv in range(1, 65):
-        c = int(counts[Lv])
-        if not c:
-            continue
-        if Lv == 1:
-            m[L == 1] = 1
-            continue
-        nb = bitpack.packed_size(c, Lv - 1)
-        tails = bitpack.unpack(
-            np.frombuffer(mv[pos:pos + nb], dtype=np.uint8), Lv - 1, c)
-        pos += nb
-        m[L == Lv] = (_U64(1) << _U64(Lv - 1)) | tails.view(np.uint64)
-    return m, pos
+    return _unpack_tails(mv, pos, L, count)
 
 
 def decode_stream(buf: bytes | memoryview, count: int) -> np.ndarray:
@@ -202,11 +243,7 @@ def encode_stream_delta_code(m: np.ndarray) -> bytes:
         return b""
     L = _bitlen(m)
     parts = [encode_stream(L.astype(np.uint64))]
-    for Lv in np.unique(L):
-        if Lv == 1:
-            continue  # the leading 1 is implied; no tail bits
-        tails = (m[L == Lv] & ((_U64(1) << _U64(Lv - 1)) - _U64(1))).astype(np.int64)
-        parts.append(bitpack.pack(tails, int(Lv) - 1))
+    _pack_tails(m, L, parts)
     return b"".join(parts)
 
 
@@ -215,22 +252,7 @@ def decode_stream_delta_code(buf: bytes | memoryview, count: int) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     mv = memoryview(buf)
     Lu, pos = _decode_stream_consumed(mv, count)
-    L = Lu.astype(np.int64)
-    m = np.empty(count, dtype=np.uint64)
-    counts = np.bincount(L, minlength=66)
-    for Lv in range(1, 65):
-        c = int(counts[Lv])
-        if not c:
-            continue
-        if Lv == 1:
-            m[L == 1] = 1
-            continue
-        nb = bitpack.packed_size(c, Lv - 1)
-        tails = bitpack.unpack(
-            np.frombuffer(mv[pos:pos + nb], dtype=np.uint8), Lv - 1, c)
-        pos += nb
-        m[L == Lv] = (_U64(1) << _U64(Lv - 1)) | tails.view(np.uint64)
-    return m
+    return _unpack_tails(mv, pos, Lu.astype(np.int64), count)[0]
 
 
 def _stream_size_delta_code(m: np.ndarray) -> int:
