@@ -880,11 +880,19 @@ def _q_bitmap_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     built = {r[0]: bytes(r[1])
              for r in build_bitmaps(both, "event_type", "user_id").collect()}
     a, b = built["click"], built["purchase"]
+    # range-built operand (varintBitmapAddRange/RemoveRange,
+    # src/varintBitmap.c:767-807): the id interval [5, 60) becomes a
+    # bitmap via add_range on an empty map — no id list ever materializes
+    import numpy as np
+    span = bitmap.add_range(bitmap.encode(np.array([], dtype=np.uint64)), 5, 60)
     rows = [
         ("and", int(len(bitmap.decode(bitmap.bitmap_and(a, b))))),
         ("or", int(len(bitmap.decode(bitmap.bitmap_or(a, b))))),
         ("andnot", int(len(bitmap.decode(bitmap.bitmap_andnot(a, b))))),
         ("xor", int(len(bitmap.decode(bitmap.bitmap_xor(a, b))))),
+        ("range_and", int(len(bitmap.decode(bitmap.bitmap_and(a, span))))),
+        ("range_remove", int(len(bitmap.decode(
+            bitmap.remove_range(a, 5, 60))))),
     ]
     return spark.createDataFrame(rows, "op string, n long")
 
@@ -1658,6 +1666,10 @@ def oracle_sql() -> dict[str, str]:
             " UNION ALL SELECT 'xor', (SELECT COUNT(*) FROM ("
             "   SELECT * FROM (SELECT * FROM c UNION SELECT * FROM b)"
             "   EXCEPT SELECT * FROM (SELECT * FROM c INTERSECT SELECT * FROM b)))"
+            " UNION ALL SELECT 'range_and',"
+            "   (SELECT COUNT(*) FROM c WHERE user_id >= 5 AND user_id < 60)"
+            " UNION ALL SELECT 'range_remove',"
+            "   (SELECT COUNT(*) FROM c WHERE user_id < 5 OR user_id >= 60)"
         ),
         "topk_per_group": (
             "SELECT o_orderpriority, CAST(rk AS INT) AS rk, o_orderkey FROM ("

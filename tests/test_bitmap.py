@@ -176,3 +176,126 @@ def test_build_bitmaps_int_keys(spark):
     out = {r.k: r.bitmap for r in build_bitmaps(df, "k", "id").collect()}
     assert set(out) == {1, 2}
     assert bitmap.decode(out[2]).tolist() == [20, 21, 22, 23, 24]
+
+
+def _canon(ids):
+    """Oracle: canonical encode of an explicit id set."""
+    return bitmap.encode(np.array(sorted(ids), dtype=np.uint64))
+
+
+def test_add_range_matches_setwise_oracle():
+    """add_range output must be byte-equal to re-encoding the union —
+    canonical-form property across container types and block boundaries."""
+    rng = np.random.default_rng(5)
+    base_ids = np.unique(rng.integers(0, 1 << 20, 3000, dtype=np.uint64))
+    buf = bitmap.encode(base_ids)
+    cases = [
+        (100, 200),                      # inside one ARRAY block
+        (65_530, 65_540),                # crosses a 64Ki block boundary
+        (0, 1 << 18),                    # swallows 4 full blocks
+        (3 << 16, (3 << 16) + 4096),     # exactly the ARRAY_MAX threshold
+        (3 << 16, (3 << 16) + 4097),     # one past it
+        ((1 << 20) + 5, (1 << 20) + 6),  # single value in an absent block
+        ((1 << 20) + 8, (1 << 20) + 10), # two values (ARRAY tie-break)
+        (500, 500),                      # empty range: no-op (min >= max)
+        (700, 600),                      # inverted: no-op
+    ]
+    for lo, hi in cases:
+        got = bitmap.add_range(buf, lo, hi)
+        want = _canon(set(base_ids.tolist()) | set(range(lo, hi)))
+        assert got == want, (lo, hi)
+        assert np.array_equal(
+            bitmap.decode(got),
+            np.unique(np.concatenate([base_ids,
+                                      np.arange(lo, hi, dtype=np.uint64)]))
+            if hi > lo else base_ids), (lo, hi)
+
+
+def test_remove_range_matches_setwise_oracle():
+    rng = np.random.default_rng(6)
+    base_ids = np.unique(rng.integers(0, 1 << 20, 5000, dtype=np.uint64))
+    buf = bitmap.encode(base_ids)
+    cases = [
+        (0, 1 << 20),        # remove everything present
+        (65_000, 66_000),    # straddle a block boundary
+        (1 << 18, 3 << 18),  # drop full interior blocks
+        (42, 43),            # single id
+        (10, 10),            # empty range: no-op
+    ]
+    for lo, hi in cases:
+        got = bitmap.remove_range(buf, lo, hi)
+        keep = base_ids[(base_ids < lo) | (base_ids >= hi)]
+        assert got == bitmap.encode(keep), (lo, hi)
+
+
+def test_range_ops_never_decode_covered_blocks(monkeypatch):
+    """Interior (fully covered) blocks must be emitted as single-run
+    containers (add) or dropped (remove) without their payloads being
+    decoded — _container_lows is patched to count edge decodes only."""
+    calls = []
+    orig = bitmap._container_lows
+
+    def counting(ctype, n, payload):
+        calls.append(n)
+        return orig(ctype, n, payload)
+
+    monkeypatch.setattr(bitmap, "_container_lows", counting)
+    # 8 dense blocks; range covers blocks 2..5 fully, edges in 1 and 6
+    ids = np.arange(0, 8 << 16, 3, dtype=np.uint64)
+    buf = bitmap.encode(ids)
+    lo, hi = (1 << 16) + 7, (6 << 16) + 9
+    bitmap.add_range(buf, lo, hi)
+    assert len(calls) == 2          # only the two edge blocks
+    calls.clear()
+    bitmap.remove_range(buf, lo, hi)
+    assert len(calls) == 2
+
+
+def test_add_range_boundary_container_transitions():
+    """Growing one block across the ARRAY->RUNS/BITMAP thresholds stays
+    canonical (the container is re-chosen by the same cost compare the
+    encoder uses)."""
+    start = 5 << 16
+    buf = bitmap.encode(np.array([start + 10], dtype=np.uint64))
+    for span in [1, 2, 3, 4095, 4096, 4097, 8191, 8192, 65536]:
+        got = bitmap.add_range(buf, start, start + span)
+        want = _canon({start + 10} | set(range(start, start + span)))
+        assert got == want, span
+        # removing the added range must round back to the original
+        back = bitmap.remove_range(got, start, start + span)
+        assert back == _canon({start + 10} - set(range(start, start + span))), span
+
+
+def test_iterator_and_iter_blocks():
+    rng = np.random.default_rng(9)
+    ids = np.unique(rng.integers(0, 1 << 22, 2000, dtype=np.uint64))
+    buf = bitmap.encode(ids)
+    # block-granular iteration reassembles the full sorted set
+    got = np.concatenate([
+        (np.uint64(key) << np.uint64(16)) | lows.astype(np.uint64)
+        for key, lows in bitmap.iter_blocks(buf)])
+    assert np.array_equal(got, ids)
+    # the per-value cursor agrees and is lazy (first 100 without exhausting)
+    import itertools
+    first = list(itertools.islice(bitmap.iterator(buf), 100))
+    assert first == ids[:100].tolist()
+    assert list(bitmap.iterator(bitmap.encode(np.array([], dtype=np.uint64)))) == []
+
+
+def test_iter_blocks_is_streaming(monkeypatch):
+    """Taking the first block must not parse later containers."""
+    calls = []
+    orig = bitmap._container_lows
+
+    def counting(ctype, n, payload):
+        calls.append(n)
+        return orig(ctype, n, payload)
+
+    monkeypatch.setattr(bitmap, "_container_lows", counting)
+    ids = np.concatenate([np.arange(100, dtype=np.uint64),
+                          np.arange(1 << 16, (1 << 16) + 50, dtype=np.uint64),
+                          np.arange(2 << 16, (2 << 16) + 50, dtype=np.uint64)])
+    buf = bitmap.encode(ids)
+    gen = bitmap.iter_blocks(buf)
+    next(gen)
+    assert len(calls) == 1

@@ -229,6 +229,131 @@ def _blockwise(a: bytes, b: bytes, op: str) -> bytes:
     return _serialize_block(out)
 
 
+# ---- range operations (reference varintBitmapAddRange/RemoveRange,
+# ---- src/varintBitmap.c:767-807) ---------------------------------------------
+#
+# The reference's range ops work inside one 16-bit container (large adds
+# convert it to a single run). Here the same idea runs CONTAINER-LEVEL over
+# the full id space: every 64Ki block strictly inside the range becomes one
+# verbatim single-run container (add) or is dropped (remove) WITHOUT
+# decoding its payload; only the ≤ 2 edge blocks decode, merge, and rechoose
+# their container. Output is canonical: byte-equal to re-encoding the
+# equivalent id set (single contiguous runs are exactly what _container_for
+# emits), which the tests use as the oracle.
+
+_LOW_MASK = 0xFFFF
+
+
+def _single_run_verbatim(lo_low: int, hi_low: int):
+    """(ctype, n, payload) for the contiguous low range [lo_low, hi_low] —
+    byte-identical to what _container_for picks for one run (RUNS always
+    wins the cost compare at 4 B + header vs 2n / 8192)."""
+    n = hi_low - lo_low + 1
+    runs = np.array([[lo_low, n - 1]], dtype="<u2")
+    return (RUNS, n, memoryview(blocks.put_uvarint(1) + runs.tobytes()))
+
+
+def _range_op(buf: bytes | memoryview, lo: int, hi: int, add: bool) -> bytes:
+    if lo >= hi:  # the reference's early return (min >= max)
+        return bytes(buf)
+    hi_inc = hi - 1
+    k_lo, k_hi = lo >> 16, hi_inc >> 16
+    keys, entries = _block_index(buf)
+    existing = {int(k): e for k, e in zip(keys, entries)}
+    all_keys = sorted(set(existing) | set(range(k_lo, k_hi + 1))) if add \
+        else sorted(existing)
+    out = []
+    for k in all_keys:
+        in_range = k_lo <= k <= k_hi
+        if not in_range:
+            out.append((k, None, existing[k]))   # verbatim, no decode
+            continue
+        b_lo = (lo & _LOW_MASK) if k == k_lo else 0
+        b_hi = (hi_inc & _LOW_MASK) if k == k_hi else _LOW_MASK
+        full = b_lo == 0 and b_hi == _LOW_MASK
+        if add:
+            if full or k not in existing:
+                # covered block: the union IS the range — emit one run,
+                # never decoding whatever container was there. Spans of
+                # ≤ 2 values go through _container_for (ARRAY wins its
+                # cost tie there) to keep the output canonical.
+                if b_hi - b_lo + 1 <= 2:
+                    out.append((k, np.arange(b_lo, b_hi + 1,
+                                             dtype=np.uint16), None))
+                else:
+                    out.append((k, None, _single_run_verbatim(b_lo, b_hi)))
+            else:
+                lows = _container_lows(*existing[k])
+                merged = np.union1d(
+                    lows, np.arange(b_lo, b_hi + 1, dtype=np.uint16))
+                out.append((k, merged.astype(np.uint16), None))
+        else:
+            if full:
+                continue                          # dropped, no decode
+            lows = _container_lows(*existing[k])
+            kept = lows[(lows < b_lo) | (lows > b_hi)]
+            if len(kept):
+                out.append((k, kept.astype(np.uint16), None))
+    return _serialize_block(out)
+
+
+def add_range(buf: bytes | memoryview, lo: int, hi: int) -> bytes:
+    """Add the half-open id range [lo, hi) — varintBitmapAddRange
+    (src/varintBitmap.c:767) lifted to the serialized multi-block form.
+    Interior blocks are emitted as single-run containers without decoding;
+    this is the natural builder for posting-list bitmaps from sorted runs."""
+    return _range_op(buf, lo, hi, add=True)
+
+
+def remove_range(buf: bytes | memoryview, lo: int, hi: int) -> bytes:
+    """Remove the half-open id range [lo, hi) — varintBitmapRemoveRange
+    (src/varintBitmap.c:807); fully-covered blocks are dropped from the
+    block directory without their payloads ever being read."""
+    return _range_op(buf, lo, hi, add=False)
+
+
+# ---- iterator (reference varintBitmapCreateIterator/IteratorNext,
+# ---- src/varintBitmap.c:644-705) ---------------------------------------------
+
+def iter_blocks(buf: bytes | memoryview):
+    """Lazily yield (block_key, sorted low-16 uint16 members) straight off
+    the serialized form — one container parsed per step, later blocks'
+    bytes untouched until requested (the streaming analog of the
+    reference's cursor; vectorized at container granularity because a
+    per-value Python cursor would be the slow path)."""
+    mv = memoryview(buf)
+    n_blocks, pos = blocks.take_uvarint(mv, 0)
+    if n_blocks == 0:
+        return
+    key_bytes = np.frombuffer(mv[pos:], dtype=np.uint8)
+    key_end = int(np.flatnonzero((key_bytes & 0x80) == 0)[n_blocks - 1]) + 1
+    keys = np.cumsum(leb128.decode(key_bytes[:key_end], n_blocks))
+    pos += key_end
+    for i in range(n_blocks):
+        ctype = mv[pos]
+        pos += 1
+        n, pos = blocks.take_uvarint(mv, pos)
+        if ctype == ARRAY:
+            plen = 2 * n
+        elif ctype == BITMAP:
+            plen = 8192
+        else:
+            n_runs, runs_pos = blocks.take_uvarint(mv, pos)
+            plen = (runs_pos - pos) + 4 * n_runs
+        yield int(keys[i]), _container_lows(ctype, n, mv[pos : pos + plen])
+        pos += plen
+
+
+def iterator(buf: bytes | memoryview):
+    """Yield ids ascending, one at a time — API parity with
+    varintBitmapIteratorNext (src/varintBitmap.c:657). Bulk consumers
+    should use iter_blocks (vectorized) instead."""
+    for key, lows in iter_blocks(buf):
+        base = key << 16
+        for v in lows:
+            yield base | int(v)
+
+
 # ---- set algebra (reference src/varintBitmap.c:442-528) ----------------------
 
 def bitmap_and(a: bytes, b: bytes) -> bytes:
