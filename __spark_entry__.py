@@ -632,6 +632,45 @@ def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         hash_mode="portable")
 
 
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a PERSISTED signature index — what a
+    real training-data pipeline does with a new crawl batch: the existing
+    corpus (doc_id < 250) has its SimHash signatures computed ONCE and
+    stored as the engine's own encoded blocks; the new batch (doc_id ≥
+    250 plus planted copies of stored docs at doc_id + 1,000,000) is then
+    deduped by a banded join against the DECODED index — the old corpus
+    text is never re-read or re-hashed. The oracle recomputes BOTH
+    batches' signatures from raw text in SQL (portable hash mode), so
+    the whole chain — signature encode → block store → decode → banded
+    incremental join — is value-gated against a from-scratch recompute."""
+    from varint_spark.engine import (EncodeOptions, decode_blocks,
+                                     encode_transcripts)
+    from varint_spark.pipeline import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.filter(F.col("doc_id") < 250).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") >= 250).select("doc_id", "text").union(
+        docs.filter(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+
+    # 1) the persisted index: signatures -> encoded blocks (16 B/doc at
+    # corpus scale, vs re-tokenizing the stored text every batch)
+    sigs = dedup.simhash(old, "doc_id", "text", hash_mode="portable") \
+        .withColumn("part", F.col("doc_id") % 8)
+    blocks = encode_transcripts(
+        sigs.select("part", "doc_id", "simhash"),
+        EncodeOptions(num_buckets=4, chunk_rows=2048, salt_span=2**40,
+                      group_col="part", order_col="doc_id"))
+    # 2) decode the index (signatures only — no text anywhere near this)
+    stored = decode_blocks(
+        blocks, "part bigint, doc_id bigint, simhash bigint") \
+        .select("doc_id", "simhash")
+    # 3) band-join the new batch against the stored index
+    return dedup.simhash_incremental_pairs(stored, new, "doc_id", "text",
+                                           max_hamming=3, bands=8,
+                                           hash_mode="portable")
+
+
 def _q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second real modality through the value gate: binary-PPM (P6) image
     payloads with stated pixel arithmetic, decoded by the pure-numpy
@@ -1078,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_jaccard": _q_dedup_minhash,
         "simhash_documents": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
+        "dedup_incremental": _q_dedup_incremental,
         "text_token_stats": _q_token_stats,
         "vocab_top_tokens": _q_vocab_top,
         "pipeline_dedup_quality_lang": _q_pipeline_compose,
@@ -1199,6 +1239,23 @@ def _simhash_neardup_oracle(max_hamming: int = 3) -> str:
         " CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming"
         " FROM sim a JOIN sim b ON a.doc_id < b.doc_id"
         f" WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"
+    )
+
+
+def _incremental_oracle(max_hamming: int = 3) -> str:
+    """From-scratch recompute of BOTH batches' portable simhashes (the
+    Spark side answers the old batch from its persisted encoded index),
+    then the exact cross-batch Hamming join: old = doc_id < 250, new =
+    doc_id >= 250 plus the planted copies at doc_id + 1,000,000."""
+    return (
+        "WITH allb AS (SELECT doc_id, text FROM documents"
+        " UNION ALL SELECT doc_id + 1000000, text FROM documents"
+        " WHERE doc_id < 50), "
+        + _simhash_ctes("allb") +
+        " SELECT n.doc_id AS new_id, o.doc_id AS old_id,"
+        " CAST(bit_count(xor(n.simhash, o.simhash)) AS BIGINT) AS hamming"
+        " FROM sim n JOIN sim o ON o.doc_id < 250 AND n.doc_id >= 250"
+        f" WHERE bit_count(xor(n.simhash, o.simhash)) <= {max_hamming}"
     )
 
 
@@ -1515,6 +1572,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "simhash_documents": _simhash_oracle(),
         "simhash_near_dup": _simhash_neardup_oracle(),
+        "dedup_incremental": _incremental_oracle(),
         # fake decoder = sha256(payload) bytes / 255; payload = UTF-8 text
         # bytes, so DuckDB's sha256(text) sees identical input. Fold order
         # mirrors Spark's sequential F.aggregate exactly (list_reduce).

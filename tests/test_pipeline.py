@@ -454,3 +454,37 @@ def test_vocab_top_tokens_matches_python_counts(spark, docs):
     g2 = [(r.token, r.n) for r in
           textstats.vocab_top_tokens(docs.repartition(7), "text", k=30).collect()]
     assert g2 == want
+
+
+def test_simhash_incremental_matches_brute_force(spark, docs):
+    """New-batch × stored-index banding must find exactly the cross-batch
+    pairs a brute-force Hamming join admits — and must never tokenize the
+    old corpus (it only ever sees the signature table)."""
+    old = docs.filter("doc_id < 40").select("doc_id", "text") \
+        .filter(F.length(F.trim("text")) > 0)
+    new = docs.filter("doc_id >= 40 AND doc_id < 70").select("doc_id", "text") \
+        .union(old.limit(10).withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    index_sigs = dedup.simhash(old, "doc_id", "text")
+    got = {(r.new_id, r.old_id): r.hamming
+           for r in dedup.simhash_incremental_pairs(
+               index_sigs, new, "doc_id", "text", max_hamming=3,
+               bands=8).collect()}
+    # planted copies of stored docs are found at hamming 0
+    for r in old.limit(10).collect():
+        assert got.get((r.doc_id + 1_000_000, r.doc_id)) == 0, r.doc_id
+    sh_old = {r.doc_id: r.simhash for r in index_sigs.collect()}
+    sh_new = {r.doc_id: r.simhash
+              for r in dedup.simhash(new, "doc_id", "text").collect()}
+    brute = {(n, o): bin((sh_new[n] ^ sh_old[o]) & ((1 << 64) - 1)).count("1")
+             for n in sh_new for o in sh_old}
+    brute = {k: v for k, v in brute.items() if v <= 3}
+    assert got == brute
+
+
+def test_simhash_incremental_guards():
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_incremental_pairs(None, None, "id", "t",
+                                        max_hamming=8, bands=8)
+    with pytest.raises(ValueError, match="divide"):
+        dedup.simhash_incremental_pairs(None, None, "id", "t",
+                                        max_hamming=3, bands=7)

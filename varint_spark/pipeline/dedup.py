@@ -206,6 +206,59 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     return cand.filter(F.col("hamming") <= max_hamming)
 
 
+def simhash_incremental_pairs(index_sigs: DataFrame, new_docs: DataFrame,
+                              id_col: str, text_col: str,
+                              max_hamming: int = 3, bands: int = 8,
+                              hash_mode: str = "xxhash64",
+                              max_bucket_size: int = 100_000) -> DataFrame:
+    """Incremental dedup: match a NEW batch of documents against an
+    EXISTING corpus through its PERSISTED SimHash signatures — the old
+    corpus text is never read or re-hashed. ``index_sigs`` is the stored
+    ``(id, simhash)`` table (typically decoded from the engine's encoded
+    signature blocks; see the ``dedup_incremental`` driver query); only
+    ``new_docs`` is tokenized.
+
+    Same pigeonhole-exact banding as :func:`simhash_near_dup_pairs`
+    (bands > max_hamming ⇒ a pair within the radius shares ≥ 1 band
+    bucket), but the join is new-batch × index instead of a self-join.
+    At corpus scale this is the shape that matters: the index is
+    signature-sized (16 B/doc regardless of document length), the new
+    batch is the only text processed, and the shuffle carries band
+    slices, not documents. The skew guard drops degenerate buckets on
+    the index side (the corpus-scale side). Returns
+    ``(new_id, old_id, hamming)``."""
+    if bands <= max_hamming:
+        raise ValueError(f"bands ({bands}) must exceed max_hamming "
+                         f"({max_hamming}) for the pigeonhole guarantee")
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+
+    def banded(sh_df: DataFrame, out_id: str) -> DataFrame:
+        return sh_df.select(
+            F.col(id_col).alias(out_id),
+            F.col("simhash").alias(f"_sh_{out_id}"),
+            F.posexplode(F.array(*[
+                F.shiftrightunsigned("simhash", i * width)
+                .bitwiseAND(F.lit(mask)) for i in range(bands)
+            ])).alias("band", "slice"))
+
+    old_b = banded(index_sigs, "old_id")
+    w = W.partitionBy("band", "slice")
+    old_b = old_b.withColumn("_bsz", F.count("*").over(w)) \
+        .filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+    new_b = banded(simhash(new_docs, id_col, text_col, hash_mode), "new_id")
+    cand = (
+        new_b.join(old_b, ["band", "slice"])
+        .select("new_id", "old_id",
+                F.bit_count(F.col("_sh_new_id").bitwiseXOR(F.col("_sh_old_id")))
+                .cast("long").alias("hamming"))
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str, text_col: str,
                         shingle_width: int = 5, threshold: float = 0.5) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (LSH verification stage).
