@@ -146,6 +146,32 @@ def _q_embedding_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("vec_id", ok.alias("within_bound"))
 
 
+def _q_matrix_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse dimension matrices through the value gate: the reference's
+    dimension-pair header reserves a sparse/dense marker
+    (src/varintDimension.h:38-46) with no body behind it; codecs/matrix.py
+    mode 5 supplies one (CSR positions as a nested adaptive int block +
+    f32 values) and competes in the lossless cost gate. Embeddings are
+    masked to ~20% density with a stated rule — component (vec_id, pos)
+    survives iff (vec_id + pos) % 5 == 0 — encoded through the engine
+    (the gate picks the sparse plane at this density; pytest pins that
+    choice), decoded, exploded, and every component is recomputed by the
+    SQL oracle from the raw table. Bit-exact: zeroed entries are +0.0,
+    kept entries are the original f32 bits."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    masked = embs.select(
+        "vec_id", "label",
+        F.transform(
+            "embedding",
+            lambda x, i: F.when((F.col("vec_id") + i) % 5 == 0, x)
+            .otherwise(F.lit(0.0)).cast("float")).alias("embedding"))
+    dec = roundtrip(masked, "label", "vec_id", _OPTS)
+    pos_val = F.posexplode("embedding")
+    return dec.select("vec_id", "label", pos_val.alias("pos", "component")) \
+        .select("vec_id", "label", F.col("pos").cast("long").alias("pos"),
+                F.col("component").cast("double").alias("component"))
+
+
 def _q_elias_heavytail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Elias DELTA_GAMMA through the gate (reference varintEliasGamma,
     src/varintElias.c:88-226): a sorted stream whose deltas are mostly 3
@@ -1095,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_pfor_outliers": _q_pfor,
         "codec_float_lossy": _q_float_lossy,
         "codec_embedding_lossy": _q_embedding_lossy,
+        "codec_matrix_sparse": _q_matrix_sparse,
         "codec_elias_heavytail": _q_elias_heavytail,
         "codec_elias_delta_octaves": _q_elias_delta_octaves,
         "random_access_point": _q_random_access_point,
@@ -1318,6 +1345,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "codec_embedding_lossy": (
             "SELECT vec_id, TRUE AS within_bound FROM embeddings"
+        ),
+        # sparse matrix plane: same masking rule recomputed from raw
+        "codec_matrix_sparse": (
+            "SELECT vec_id, label, pos,"
+            " CASE WHEN (vec_id + pos) % 5 = 0 THEN component"
+            " ELSE 0.0 END AS component"
+            " FROM (SELECT vec_id, label,"
+            "   CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,"
+            "   CAST(UNNEST(embedding) AS DOUBLE) AS component"
+            "   FROM embeddings)"
         ),
         # identity on the values AND the gate's codec choice: per-delta
         # gamma lengths beat every fixed-width/LEB128 candidate on this

@@ -216,3 +216,69 @@ def test_get_row_lossy_modes_without_full_decode(monkeypatch):
         for i, r in zip((0, 7, 11, 13, n - 1), rows):
             np.testing.assert_array_equal(
                 r, np.asarray(ref[i]), err_msg=f"{precision} row {i}")
+
+
+def _mode_of(payload: bytes, dim: int) -> int:
+    return payload[len(blocks.put_uvarint(dim))]
+
+
+def test_sparse_mode_roundtrip_and_gate():
+    """The CSR sparse plane (the reference dimension header's reserved
+    sparse marker, src/varintDimension.h:38-46, given a real body) must
+    win the cost gate on sparse matrices, lose it on dense ones, and
+    round-trip BIT-exactly — including -0.0, NaN payloads and denormals,
+    which are 'nonzero' by bit pattern."""
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((500, 64)).astype(np.float32)
+    mat[rng.random((500, 64)) < 0.9] = 0.0
+    p = matrix.encode(mat)
+    assert _mode_of(p, 64) == 5
+    assert len(p) < mat.nbytes // 4  # far below the plain floor
+    back = matrix.list_to_matrix(matrix.decode(p, 500))
+    np.testing.assert_array_equal(back.view(np.int32), mat.view(np.int32))
+
+    specials = np.zeros((100, 8), dtype=np.float32)
+    specials[0, 0] = np.float32(-0.0)
+    specials[1, 1] = np.frombuffer(np.uint32(0x7FC00001).tobytes(),
+                                   dtype=np.float32)[0]  # NaN payload
+    specials[2, 2] = np.float32(1e-42)                   # denormal
+    b = matrix.list_to_matrix(matrix.decode(matrix.encode(specials), 100))
+    np.testing.assert_array_equal(b.view(np.int32), specials.view(np.int32))
+
+    zeros = np.zeros((50, 16), dtype=np.float32)
+    pz = matrix.encode(zeros)
+    assert _mode_of(pz, 16) == 5 and len(pz) < 16
+    assert (matrix.list_to_matrix(matrix.decode(pz, 50)).view(np.int32) == 0).all()
+
+    dense = rng.standard_normal((200, 32)).astype(np.float32)
+    assert _mode_of(matrix.encode(dense), 32) != 5
+
+
+def test_sparse_get_row_touches_values_only_at_hits(monkeypatch):
+    """Sparse get_row: the full f64lossy machinery must never run, and
+    rows (including all-zero rows) come back exact."""
+    from varint_spark.codecs import f64lossy
+
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((300, 48)).astype(np.float32)
+    mat[rng.random((300, 48)) < 0.85] = 0.0
+    mat[123] = 0.0  # an entirely-zero row
+    blk = matrix.encode_block(matrix.matrix_to_list(mat))
+    assert _mode_of(blocks.unpack_block(blk)[2], 48) == 5
+
+    def boom(*a, **k):
+        raise AssertionError("f64lossy invoked on a sparse block")
+
+    monkeypatch.setattr(f64lossy, "decode", boom)
+    monkeypatch.setattr(f64lossy, "get_positions", boom)
+    for i in (0, 123, 299):
+        np.testing.assert_array_equal(
+            matrix.get_row(blk, i).view(np.int32), mat[i].view(np.int32), str(i))
+
+
+def test_sparse_mode_deterministic_and_size_exact():
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((256, 32)).astype(np.float32)
+    mat[rng.random((256, 32)) < 0.8] = 0.0
+    assert matrix.encode(mat) == matrix.encode(mat.copy(order="C"))
+    assert matrix.encoded_size(mat) == len(matrix.encode(mat))

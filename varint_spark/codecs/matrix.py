@@ -34,7 +34,10 @@ Payload layout (after the standard [codec_id][count=n_rows] header)::
 
     [dim: leb128]
     [mode: 1]        0 = plain f32 LE (column-major), 1..4 = f64lossy
-                     precision full/high/medium/low over the widened planes
+                     precision full/high/medium/low over the widened
+                     planes, 5 = CSR sparse (the reference header's
+                     reserved sparse marker, src/varintDimension.h:38-46,
+                     given a real body)
     [body]
 
 Per-entry access note: value (i, j) lives at flat index j*n + i; the
@@ -54,6 +57,15 @@ from . import blocks, f64lossy
 _MODE_PLAIN = 0
 _MODE_OF_PRECISION = {"full": 1, "high": 2, "medium": 3, "low": 4}
 _PRECISION_OF_MODE = {v: k for k, v in _MODE_OF_PRECISION.items()}
+# CSR-style sparse plane — the reference's dimension-pair header reserves a
+# sparse/dense marker bit (VARINT_DIMENSION_PAIR_IS_SPARSE,
+# src/varintDimension.h:38-46) but never implements the sparse body; this
+# mode completes it: [nnz: leb128][positions: nested adaptive int block
+# over the sorted column-major flat indices][values: f32 LE at those
+# positions]. "Zero" means the all-zeros BIT PATTERN only (+0.0) — -0.0,
+# NaN payloads and denormals are stored as values, keeping the lossless
+# contract bit-exact. Competes in the same cost gate as the dense body.
+_MODE_SPARSE = 5
 
 # f32-lossless f64 precision: 23 mantissa bits == all of float32's
 LOSSLESS = "high"
@@ -92,6 +104,20 @@ def matrix_to_list(mat: np.ndarray) -> pa.Array:
     return pa.ListArray.from_arrays(offsets, values)
 
 
+def _sparse_body(flat: np.ndarray) -> bytes | None:
+    """CSR body over the column-major flat f32 plane, or None when the
+    matrix is too dense for the attempt to be worth sizing (nnz ≥ half —
+    positions + 4 B/value cannot beat 4 B/entry plain there)."""
+    bits32 = flat.view(np.int32)
+    nz = np.flatnonzero(bits32 != 0)
+    if 2 * len(nz) >= len(bits32):
+        return None
+    from ..selector import encode_int_block  # lazy: avoids a cycle
+    return (blocks.put_uvarint(len(nz))
+            + blocks.put_sub(encode_int_block(nz.astype(np.int64)))
+            + flat[nz].tobytes())
+
+
 def encode(mat: np.ndarray, precision: str | None = None) -> bytes:
     """(n, dim) float32 matrix -> payload bytes (no block header)."""
     n, dim = mat.shape
@@ -99,14 +125,22 @@ def encode(mat: np.ndarray, precision: str | None = None) -> bytes:
     if n == 0 or dim == 0:
         return header + bytes([_MODE_PLAIN])
     planes = np.asfortranarray(mat, dtype=np.float32)  # column-major
-    widened = planes.ravel(order="F").astype(np.float64)
+    flat = planes.ravel(order="F")
+    widened = flat.astype(np.float64)
     prec = precision or LOSSLESS
     body = f64lossy.encode(widened.view(np.int64), prec)
+    if precision is not None:
+        return header + bytes([_MODE_OF_PRECISION[prec]]) + body
+    # lossless cost gate over three candidates; plain listed first so it
+    # wins exact ties (the pre-sparse gate's rule — structured forms must
+    # be STRICTLY smaller), guaranteeing encoded ≤ plain f32 always
     plain = planes.tobytes(order="F")
-    if precision is None and len(body) >= len(plain):
-        # lossless cost gate: structured encoding lost — store raw f32
-        return header + bytes([_MODE_PLAIN]) + plain
-    return header + bytes([_MODE_OF_PRECISION[prec]]) + body
+    cands = [(_MODE_PLAIN, plain), (_MODE_OF_PRECISION[prec], body)]
+    sparse = _sparse_body(flat)
+    if sparse is not None:
+        cands.append((_MODE_SPARSE, sparse))
+    mode, best = min(cands, key=lambda c: len(c[1]))
+    return header + bytes([mode]) + best
 
 
 def decode(buf: bytes | memoryview, n_rows: int) -> pa.Array:
@@ -122,6 +156,10 @@ def decode(buf: bytes | memoryview, n_rows: int) -> pa.Array:
     total = n_rows * dim
     if mode == _MODE_PLAIN:
         flat = np.frombuffer(mv[pos:pos + 4 * total], dtype=np.float32)
+    elif mode == _MODE_SPARSE:
+        nz_pos, vals = _sparse_parts(mv, pos)
+        flat = np.zeros(total, dtype=np.float32)
+        flat[nz_pos] = vals
     else:
         bits = f64lossy.decode(mv[pos:], total)
         wide = bits.view(np.float64)
@@ -135,6 +173,16 @@ def decode(buf: bytes | memoryview, n_rows: int) -> pa.Array:
         flat = wide.astype(np.float32)
     mat = flat.reshape(n_rows, dim, order="F")  # undo column-major
     return matrix_to_list(mat)
+
+
+def _sparse_parts(mv: memoryview, pos: int) -> tuple[np.ndarray, np.ndarray]:
+    """sparse body -> (sorted flat positions int64, values f32 view)."""
+    from ..selector import decode_int_block  # lazy: avoids a cycle
+    nnz, pos = blocks.take_uvarint(mv, pos)
+    pos_blk, pos = blocks.take_sub(mv, pos)
+    nz_pos = decode_int_block(pos_blk)
+    vals = np.frombuffer(mv[pos:pos + 4 * nnz], dtype=np.float32)
+    return nz_pos, vals
 
 
 def encoded_size(mat: np.ndarray, precision: str | None = None) -> int:
@@ -175,6 +223,17 @@ def get_row(block: bytes | memoryview, i: int) -> np.ndarray:
     if mode == _MODE_PLAIN:
         flat = np.frombuffer(mv[pos:pos + 4 * n_rows * dim], dtype=np.float32)
         return np.ascontiguousarray(flat[i::n_rows])  # one strided gather
+    if mode == _MODE_SPARSE:
+        # the position index (nnz small ints, the compressed part) is
+        # decoded; the VALUES plane is only touched at the row's hits
+        nz_pos, vals = _sparse_parts(mv, pos)
+        wanted = i + n_rows * np.arange(dim, dtype=np.int64)
+        j = np.searchsorted(nz_pos, wanted)
+        j_safe = np.minimum(j, len(nz_pos) - 1) if len(nz_pos) else j
+        hit = (j < len(nz_pos)) & (nz_pos[j_safe] == wanted)
+        out = np.zeros(dim, dtype=np.float32)
+        out[hit] = vals[j[hit]]
+        return out
     flat_pos = i + n_rows * np.arange(dim, dtype=np.int64)
     bits = f64lossy.get_positions(mv[pos:], n_rows * dim, flat_pos)
     wide = bits.view(np.float64)
