@@ -1104,14 +1104,20 @@ def _q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict order IS the driver's execution order. The two queries that
-    # missed the r4 artifact (registry tail truncated against the gate
-    # budget) now run FIRST, and the rest are ordered roughly cheapest
-    # to most expensive so a budget cut can only ever shave the tail of
-    # already-multiply-verified heavy queries.
+    # Dict order IS the driver's execution order. The r4 artifact covered
+    # exactly 50 of 52 registry entries (the tail was cut), so the two
+    # queries it missed and everything NEW this round run FIRST — a
+    # count- or time-budget cut can then only shave queries that already
+    # carry green rows in earlier rounds' artifacts. The whole 56-query
+    # surface runs in ~35 s at sf0.01 (no single query over ~2 s;
+    # profiled via scripts/check_oracle.py).
     return {
         "tagged_sortable_keys": _q_tagged_sortable,
         "topk_per_group": _q_topk_per_group,
+        "codec_matrix_sparse": _q_matrix_sparse,
+        "str_prefix_pushdown": _q_str_prefix_pushdown,
+        "str_in_pushdown": _q_str_in_pushdown,
+        "dedup_incremental": _q_dedup_incremental,
         "roundtrip_events": _rt("events", "user_id", "event_id"),
         "roundtrip_orders": _rt("orders", "o_custkey", "o_orderkey"),
         "roundtrip_lineitem": _rt("lineitem", "l_orderkey", "l_linenumber"),
@@ -1121,7 +1127,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_pfor_outliers": _q_pfor,
         "codec_float_lossy": _q_float_lossy,
         "codec_embedding_lossy": _q_embedding_lossy,
-        "codec_matrix_sparse": _q_matrix_sparse,
         "codec_elias_heavytail": _q_elias_heavytail,
         "codec_elias_delta_octaves": _q_elias_delta_octaves,
         "random_access_point": _q_random_access_point,
@@ -1132,8 +1137,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_clicks": _q_range_join_clicks,
         "rollup_events_daily": _q_rollup_hourly,
         "dict_filter_pushdown": _q_dict_filter_pushdown,
-        "str_prefix_pushdown": _q_str_prefix_pushdown,
-        "str_in_pushdown": _q_str_in_pushdown,
         "analyze_minmax_range": _q_minmax,
         "analyze_run_lengths": _q_runs,
         "analyze_cardinality": _q_cardinality,
@@ -1144,7 +1147,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_jaccard": _q_dedup_minhash,
         "simhash_documents": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
-        "dedup_incremental": _q_dedup_incremental,
         "text_token_stats": _q_token_stats,
         "vocab_top_tokens": _q_vocab_top,
         "pipeline_dedup_quality_lang": _q_pipeline_compose,
