@@ -488,3 +488,26 @@ def test_simhash_incremental_guards():
     with pytest.raises(ValueError, match="divide"):
         dedup.simhash_incremental_pairs(None, None, "id", "t",
                                         max_hamming=3, bands=7)
+
+
+def test_minhash_incremental_matches_union_lsh(spark, docs):
+    """Banding a new batch against stored minhash signatures must produce
+    exactly the cross-batch candidates the self-join LSH finds on the
+    union of both batches (same banding scheme), and must find planted
+    copies of indexed docs."""
+    old = docs.filter("doc_id < 40").select("doc_id", "text") \
+        .filter(F.length(F.trim("text")) > 0)
+    new = docs.filter("doc_id >= 40 AND doc_id < 70").select("doc_id", "text") \
+        .union(old.limit(8).withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    index_sigs = dedup.minhash_signatures(old, "doc_id", "text")
+    got = {(r.new_id, r.old_id)
+           for r in dedup.minhash_incremental_pairs(
+               index_sigs, new, "doc_id", "text").collect()}
+    for r in old.limit(8).collect():  # identical text -> identical bands
+        assert (r.doc_id + 1_000_000, r.doc_id) in got, r.doc_id
+    old_ids = {r.doc_id for r in old.collect()}
+    new_ids = {r.doc_id for r in new.collect()}
+    union_pairs = dedup.minhash_lsh_pairs(old.union(new), "doc_id", "text")
+    want = {(r.id_b, r.id_a) for r in union_pairs.collect()
+            if r.id_a in old_ids and r.id_b in new_ids}
+    assert got == want

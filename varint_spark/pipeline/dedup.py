@@ -206,6 +206,44 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     return cand.filter(F.col("hamming") <= max_hamming)
 
 
+def minhash_incremental_pairs(index_sigs: DataFrame, new_docs: DataFrame,
+                              id_col: str, text_col: str,
+                              num_hashes: int = 64, bands: int = 16,
+                              shingle_width: int = 5,
+                              max_bucket_size: int = 10_000) -> DataFrame:
+    """MinHash twin of :func:`simhash_incremental_pairs`: candidate
+    near-duplicate pairs between a NEW batch and an EXISTING corpus whose
+    minhash signatures are already persisted (``index_sigs``:
+    ``(id, signature array<long>)``) — only the new batch is shingled.
+    Banding is the probabilistic LSH scheme (same bands/rows trade-off as
+    :func:`minhash_lsh_pairs`); follow with :func:`ngram_jaccard_pairs`
+    on the candidates for exact verification. The skew guard drops
+    degenerate buckets on the index side. Returns (new_id, old_id)."""
+    rows_per_band = num_hashes // bands
+
+    def banded(sigs: DataFrame, out_id: str) -> DataFrame:
+        return sigs.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda i: F.hash(F.slice(F.col("signature"),
+                                             i * rows_per_band + 1,
+                                             rows_per_band)),
+                )
+            ).alias("band", "bucket"))
+
+    old_b = banded(index_sigs, "old_id")
+    w = W.partitionBy("band", "bucket")
+    old_b = old_b.withColumn("_bsz", F.count("*").over(w)) \
+        .filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+    new_sigs = minhash_signatures(new_docs, id_col, text_col,
+                                  num_hashes, shingle_width)
+    new_b = banded(new_sigs, "new_id")
+    return (new_b.join(old_b, ["band", "bucket"])
+            .select("new_id", "old_id").distinct())
+
+
 def simhash_incremental_pairs(index_sigs: DataFrame, new_docs: DataFrame,
                               id_col: str, text_col: str,
                               max_hamming: int = 3, bands: int = 8,
