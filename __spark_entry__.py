@@ -455,6 +455,28 @@ def _q_str_in_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                                isin=["de", "fr", "zh"])
 
 
+def _q_str_like_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``source LIKE '%1%'`` — a contains pattern no prefix range can
+    bound — on the ENCODED form: the pattern runs over the SORTED
+    DICTIONARY ENTRIES only (work ∝ chunk cardinality, not rows), the
+    matching codes coalesce into int ranges, and the code stream is
+    range-compared per range (codecs/random_access.py str_filter_like).
+    Generalizes the reference's equality-only dictionary find
+    (varintDictFind, src/varintDict.c:151-156); corpus bytes of
+    non-matching chunks are never decoded. Same rows as plain SQL LIKE."""
+    from varint_spark.engine import (EncodeOptions, decode_blocks_where,
+                                     encode_transcripts)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "source", "text")
+    opts = EncodeOptions(num_buckets=8, chunk_rows=2048, salt_span=2**40,
+                         group_col="source", order_col="doc_id")
+    blocks = encode_transcripts(docs, opts)
+    return decode_blocks_where(blocks, "doc_id bigint, source string",
+                               "source", None, columns=["doc_id", "source"],
+                               like="%1%")
+
+
 def _q_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -1117,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_matrix_sparse": _q_matrix_sparse,
         "str_prefix_pushdown": _q_str_prefix_pushdown,
         "str_in_pushdown": _q_str_in_pushdown,
+        "str_like_pushdown": _q_str_like_pushdown,
         "dedup_incremental": _q_dedup_incremental,
         "roundtrip_events": _rt("events", "user_id", "event_id"),
         "roundtrip_orders": _rt("orders", "o_custkey", "o_orderkey"),
@@ -1464,6 +1487,11 @@ def oracle_sql() -> dict[str, str]:
         "str_in_pushdown": (
             "SELECT doc_id, lang FROM documents"
             " WHERE lang IN ('de', 'fr', 'zh')"
+        ),
+        # general LIKE: the Spark side matches the pattern against the
+        # dictionary entries only, then code-stream range compares
+        "str_like_pushdown": (
+            "SELECT doc_id, source FROM documents WHERE source LIKE '%1%'"
         ),
         # daily rows straight from raw — the Spark side cascades them
         # from the hourly rollup, so this gates the refresh identity

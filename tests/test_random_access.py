@@ -432,3 +432,74 @@ def test_decode_blocks_where_str_prefix_and_in(spark):
         decode_blocks_where(blocks, "conv_id string, role string",
                             "role", None, columns=["conv_id", "role"],
                             eq="user", prefix="use")
+
+
+def test_like_pattern_to_regex():
+    import re
+
+    from varint_spark.codecs.random_access import like_pattern_to_regex
+
+    def m(pattern, s):
+        return re.match(like_pattern_to_regex(pattern), s) is not None
+
+    assert m("abc", "abc") and not m("abc", "abcd")
+    assert m("a%c", "abbbc") and m("a%c", "ac") and not m("a%c", "acb")
+    assert m("a_c", "abc") and not m("a_c", "abbc")
+    assert m("%1%", "src1") and m("%1%", "src14") and not m("%1%", "src2")
+    # escape guards the wildcard; dot and friends are literal
+    assert m(r"100\%", "100%") and not m(r"100\%", "1000")
+    assert m("a.c", "a.c") and not m("a.c", "abc")
+    # wildcards cross newlines (SQL DOTALL semantics)
+    assert m("a%c", "a\nc") and m("a_c", "a\nc")
+
+
+def test_str_filter_like_never_decodes_corpus(monkeypatch):
+    """General LIKE over DICT_STR is answered by matching the pattern
+    against the dictionary entries only + code-stream range compares —
+    the corpus decoder is patched to prove it never runs. Contains and
+    suffix shapes (which no sorted-range bound can serve) included."""
+    import pyarrow as pa
+    import pytest
+    import re
+
+    from varint_spark import selector
+    from varint_spark.codecs import random_access as ra
+    from varint_spark.codecs.random_access import like_pattern_to_regex
+
+    base = ["src1", "src10", "src14", "src2", "src21", "en-US", "é", "zh"]
+    vals = base * 40
+    blk = selector.encode_column(pa.array(vals, type=pa.large_utf8()), "str")
+    assert "dict_str" in selector.codec_name_of(blk)
+
+    def boom(*a, **k):
+        raise AssertionError("string block decoded")
+
+    monkeypatch.setattr(selector, "decode_str_block", boom)
+    for p in ["%1%", "%4", "src_", "s%1", "_", "%", "nomatch%x", ""]:
+        rx = re.compile(like_pattern_to_regex(p))
+        got = ra.str_filter_like(blk, p)
+        assert got.tolist() == [rx.match(v) is not None for v in vals], p
+    # corpus-structured blocks legitimately fall back (patch bites)
+    uniq = [f"unique string value {i:05d}" for i in range(200)]
+    ublk = selector.encode_column(pa.array(uniq, type=pa.large_utf8()), "str")
+    with pytest.raises(AssertionError, match="string block decoded"):
+        ra.str_filter_like(ublk, "%value 0000%")
+    monkeypatch.undo()
+    assert ra.str_filter_like(ublk, "%value 0000%").sum() == 10
+    assert ra.str_filter_like(ublk, "%00003").sum() == 1
+
+
+def test_decode_blocks_where_str_like(spark):
+    from varint_spark import transcripts
+    from varint_spark.engine import (EncodeOptions, decode_blocks_where,
+                                     encode_transcripts)
+
+    df = transcripts.generate_spark(spark, n_conversations=30, n_hot=0)
+    blocks = encode_transcripts(df, EncodeOptions(num_buckets=4,
+                                                  chunk_rows=512,
+                                                  salt_span=4096))
+    out = decode_blocks_where(blocks, "conv_id string, role string",
+                              "role", None, columns=["conv_id", "role"],
+                              like="%ss%")
+    assert out.count() == df.filter("role LIKE '%ss%'").count()
+    assert {r.role for r in out.collect()} == {"assistant"}

@@ -497,21 +497,78 @@ def str_filter_in(block: bytes | memoryview, values,
             i = bisect.bisect_left(uniq, v)
             if i < len(uniq) and uniq[i] == v:
                 codes.append(i)
-        if not codes:
-            return np.zeros(count, dtype=bool)
-        ranges, start = [], codes[0]
-        for prev, cur in zip(codes, codes[1:]):
-            if cur != prev + 1:
-                ranges.append((start, prev))
-                start = cur
-        ranges.append((start, codes[-1]))
-        out = np.zeros(count, dtype=bool)
-        for lo, hi in ranges:
-            out |= filter_between(codes_blk, lo, hi)
-        return out
+        return _codes_to_mask(codes_blk, codes, count)
 
     import pyarrow as pa
     import pyarrow.compute as pc
     return _str_dict_dispatch(
         block, shared_col, on_dict,
         lambda arr: pc.is_in(arr, value_set=pa.array(probes, type=arr.type)))
+
+
+def _codes_to_mask(codes_blk, codes: list[int], count: int) -> np.ndarray:
+    """OR of ``code IN (codes)`` over the codes sub-block: adjacent codes
+    coalesce into contiguous ranges, one encoded-form filter_between per
+    range (usually far fewer passes than len(codes))."""
+    if not codes:
+        return np.zeros(count, dtype=bool)
+    ranges, start = [], codes[0]
+    for prev, cur in zip(codes, codes[1:]):
+        if cur != prev + 1:
+            ranges.append((start, prev))
+            start = cur
+    ranges.append((start, codes[-1]))
+    out = np.zeros(count, dtype=bool)
+    for lo, hi in ranges:
+        out |= filter_between(codes_blk, lo, hi)
+    return out
+
+
+def like_pattern_to_regex(pattern: str, escape: str = "\\") -> str:
+    """SQL LIKE pattern -> anchored RE2/`re`-compatible regex source.
+    ``%`` -> ``.*``, ``_`` -> ``.``, ``escape`` guards the next char
+    literally (SQL-92 / Spark / DuckDB default backslash); everything
+    else is escaped. Wrapped ``(?s:...)`` so wildcards cross newlines,
+    matching SQL semantics (Spark compiles LIKE with DOTALL)."""
+    import re
+    out, i = [], 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == escape and i + 1 < len(pattern):
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    return "^(?s:" + "".join(out) + ")$"
+
+
+def str_filter_like(block: bytes | memoryview, pattern: str,
+                    shared_col=None) -> np.ndarray:
+    """General ``s LIKE pattern`` (``%``/``_`` wildcards, backslash
+    escape) on the ENCODED form: the pattern is evaluated against the
+    SORTED DICTIONARY ENTRIES ONLY — query-literal work proportional to
+    chunk cardinality, not row count — and the matching codes collapse
+    to coalesced int ranges over the code stream (same machinery as the
+    IN-list multi-find). Subsumes eq/prefix/in as special cases and adds
+    contains/suffix/``_`` shapes the reference's sorted-dict binary
+    search cannot range-bound (varintDictFind, src/varintDict.c:151-156,
+    is equality-only; the dictionary scan is the natural generalization).
+    Chunks whose dictionary matches nothing never touch the code stream
+    or corpus bytes."""
+    import re
+    rx = re.compile(like_pattern_to_regex(pattern))
+
+    def on_dict(codes_blk, uniq, count):
+        codes = [i for i, e in enumerate(uniq) if rx.match(e)]
+        return _codes_to_mask(codes_blk, codes, count)
+
+    import pyarrow.compute as pc
+    return _str_dict_dispatch(
+        block, shared_col, on_dict,
+        lambda arr: pc.match_substring_regex(arr, like_pattern_to_regex(pattern)))

@@ -356,7 +356,8 @@ def decode_blocks(blocks: DataFrame, schema_ddl: str, kinds: dict[str, str] | No
 def make_decode_where_udf(kinds: dict[str, str], out_cols: list[str],
                           filter_col: str, lo: int | None, hi: int | None = None,
                           eq: str | None = None, prefix: str | None = None,
-                          isin: list[str] | None = None):
+                          isin: list[str] | None = None,
+                          like: str | None = None):
     from .codecs import random_access
     from .codecs.blocks import INT_CODECS
 
@@ -375,6 +376,8 @@ def make_decode_where_udf(kinds: dict[str, str], out_cols: list[str],
             mask = random_access.str_filter_prefix(by_col[filter_col], prefix)
         elif isin is not None:
             mask = random_access.str_filter_in(by_col[filter_col], isin)
+        elif like is not None:
+            mask = random_access.str_filter_like(by_col[filter_col], like)
         else:
             mask = random_access.filter_between(by_col[filter_col], lo, hi)
         pamask = None
@@ -401,7 +404,8 @@ def decode_blocks_where(blocks: DataFrame, schema_ddl: str, filter_col: str,
                         hi: int | None = None,
                         eq: str | None = None,
                         prefix: str | None = None,
-                        isin: list[str] | None = None) -> DataFrame:
+                        isin: list[str] | None = None,
+                        like: str | None = None) -> DataFrame:
     """decode_blocks with ``lo <= filter_col <= hi`` (either bound
     optional) pushed INTO the encoded form: the predicate is evaluated
     against each chunk's encoded block
@@ -421,7 +425,7 @@ def decode_blocks_where(blocks: DataFrame, schema_ddl: str, filter_col: str,
     if filter_col not in cols:
         raise ValueError(f"filter_col {filter_col!r} must be among {cols}")
     kinds = kinds or kinds_for_ddl(schema_ddl)
-    str_preds = {"eq": eq, "prefix": prefix, "isin": isin}
+    str_preds = {"eq": eq, "prefix": prefix, "isin": isin, "like": like}
     given = [k for k, v in str_preds.items() if v is not None]
     if len(given) > 1:
         raise ValueError(f"pass at most one string predicate, got {given}")
@@ -438,7 +442,7 @@ def decode_blocks_where(blocks: DataFrame, schema_ddl: str, filter_col: str,
             f"encoded-form predicates need an integer/timestamp column; "
             f"{filter_col!r} is {kinds.get(filter_col)!r}")
     fn = make_decode_where_udf(kinds, cols, filter_col, lo, hi, eq, prefix,
-                               list(isin) if isin is not None else None)
+                               list(isin) if isin is not None else None, like)
     return blocks.groupBy("part_key", "chunk_id").applyInArrow(fn, schema_ddl)
 
 
