@@ -802,6 +802,28 @@ def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).cast("long").alias("sum_chars"))
 
 
+def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format gate, CSV edition: documents → RFC-4180 CSV →
+    schema-pinned FAILFAST read-back → per-source integer checksums
+    against the ORIGINAL table (sources/csv.py pins the schema, µs
+    timestamp format, and the single-line/multiLine splittability
+    trade-off documented in the module)."""
+    import tempfile
+
+    from varint_spark.sources import csv as vcsv
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "source", "text")
+    path = tempfile.mkdtemp(prefix="vs_csv_rt_")
+    vcsv.write_csv(docs, path, partitions=4)
+    back = vcsv.read_csv(spark, path,
+                         "doc_id long, source string, text string")
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum(F.length("text")).cast("long").alias("sum_chars"))
+
+
 def _q_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary building (the tokenizer-prep pass): corpus-wide token
     frequencies, top 50, deterministic tie-break. The map pass emits one
@@ -1174,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_tokens": _q_vocab_top,
         "pipeline_dedup_quality_lang": _q_pipeline_compose,
         "source_roundtrip_jsonl": _q_jsonl_roundtrip,
+        "source_roundtrip_csv": _q_csv_roundtrip,
         "text_quality_score": _q_quality,
         "text_lang_id": _q_lang_id,
         "similarity_topk": _q_similarity,
@@ -1615,6 +1638,12 @@ def oracle_sql() -> dict[str, str]:
             " CAST(SUM(doc_id) AS BIGINT) AS sum_ids,"
             " CAST(SUM(length(text)) AS BIGINT) AS sum_chars"
             " FROM documents GROUP BY lang"
+        ),
+        "source_roundtrip_csv": (
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,"
+            " CAST(SUM(doc_id) AS BIGINT) AS sum_ids,"
+            " CAST(SUM(length(text)) AS BIGINT) AS sum_chars"
+            " FROM documents GROUP BY source"
         ),
         # the composed pipeline replayed in SQL: ROW_NUMBER dedup, same
         # feature expressions, same filter, same aggregation
