@@ -477,6 +477,28 @@ def _q_str_like_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                                like="%1%")
 
 
+def _q_str_zone_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full two-stage string predicate: chunk-level zone-map pruning
+    on the (min_str, max_str) metadata columns (engine.prune_chunks_str —
+    a metadata-only Spark filter that at 100 TB reaches the blocks scan's
+    parquet row-group stats) THEN the encoded-form dictionary evaluation
+    inside surviving chunks (decode_blocks_where prefix=). Grouping by
+    source makes chunks source-homogeneous, so the prune stage drops
+    ~9/10 of the chunks before any payload ships."""
+    from varint_spark.engine import (EncodeOptions, decode_blocks_where,
+                                     encode_transcripts, prune_chunks_str)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "source", "text")
+    opts = EncodeOptions(num_buckets=8, chunk_rows=2048, salt_span=2**40,
+                         group_col="source", order_col="doc_id")
+    blocks = prune_chunks_str(encode_transcripts(docs, opts),
+                              "source", prefix="src1")
+    return decode_blocks_where(blocks, "doc_id bigint, source string",
+                               "source", None, columns=["doc_id", "source"],
+                               prefix="src1")
+
+
 def _q_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -1162,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_prefix_pushdown": _q_str_prefix_pushdown,
         "str_in_pushdown": _q_str_in_pushdown,
         "str_like_pushdown": _q_str_like_pushdown,
+        "str_zone_prune": _q_str_zone_prune,
         "dedup_incremental": _q_dedup_incremental,
         "roundtrip_events": _rt("events", "user_id", "event_id"),
         "roundtrip_orders": _rt("orders", "o_custkey", "o_orderkey"),
@@ -1515,6 +1538,11 @@ def oracle_sql() -> dict[str, str]:
         # dictionary entries only, then code-stream range compares
         "str_like_pushdown": (
             "SELECT doc_id, source FROM documents WHERE source LIKE '%1%'"
+        ),
+        # two-stage: zone-map chunk pruning on string stats, then the
+        # encoded-form dictionary range — result must equal a plain WHERE
+        "str_zone_prune": (
+            "SELECT doc_id, source FROM documents WHERE source LIKE 'src1%'"
         ),
         # daily rows straight from raw — the Spark side cascades them
         # from the hourly rollup, so this gates the refresh identity

@@ -173,3 +173,51 @@ def test_prune_chunks_null_stats_is_noop(spark):
         kept = prune_chunks(blocks, col, lo=0, hi=10).select(
             "part_key", "chunk_id").distinct().count()
         assert kept == n_all, col
+
+
+def test_zone_map_string_pruning(spark):
+    """prune_chunks_str drops chunks whose [min_str, max_str] can't hold
+    the probe; non-ASCII / >64-char values store NULL stats and survive
+    every probe (sound escape); truncated minima stay lower bounds."""
+    import pyspark.sql.functions as SF
+
+    from varint_spark.engine import (EncodeOptions, _ascii_increment,
+                                     _zone_str, decode_blocks,
+                                     encode_transcripts, prune_chunks_str)
+
+    # unit: the stat builder and the prefix upper bound
+    assert _zone_str("abc", True) == "abc" and _zone_str("abc", False) == "abc"
+    assert _zone_str("é", True) is None and _zone_str(None, True) is None
+    long = "x" * 100
+    assert _zone_str(long, True) == "x" * 64 and _zone_str(long, False) is None
+    assert _ascii_increment("src1") == "src2"
+    assert _ascii_increment("a\x7f\x7f") == "b"
+    assert _ascii_increment("\x7f") is None
+
+    rows = [(i, f"cat{i % 8}", f"val{i:04d}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, cat string, v string")
+    opts = EncodeOptions(num_buckets=4, chunk_rows=256, salt_span=2**40,
+                         group_col="cat", order_col="id")
+    blocks = encode_transcripts(df, opts).cache()
+    n_all = blocks.select("part_key", "chunk_id").distinct().count()
+
+    for kw in [dict(eq="cat3"), dict(prefix="cat3")]:
+        pruned = prune_chunks_str(blocks, "cat", **kw)
+        n_kept = pruned.select("part_key", "chunk_id").distinct().count()
+        assert 0 < n_kept < n_all, kw
+        got = decode_blocks(pruned, "id long, cat string, v string") \
+            .filter(SF.col("cat") == "cat3")
+        want = df.filter("cat = 'cat3'")
+        assert got.count() == want.count() == 500
+    # absent value prunes everything, correctly
+    assert prune_chunks_str(blocks, "cat", eq="zz").count() == 0
+    # non-ASCII probe: no pruning, full survival
+    assert prune_chunks_str(blocks, "cat", eq="é").count() == blocks.count()
+
+    # NULL-stat chunks (non-ASCII values) survive any probe
+    rows2 = [(i, "grp", "é" + f"{i:03d}") for i in range(600)]
+    df2 = spark.createDataFrame(rows2, "id long, g string, v string")
+    opts2 = EncodeOptions(num_buckets=2, chunk_rows=256, salt_span=2**40,
+                          group_col="g", order_col="id")
+    b2 = encode_transcripts(df2, opts2)
+    assert prune_chunks_str(b2, "v", prefix="anything").count() == b2.count()

@@ -84,7 +84,8 @@ def kinds_for_schema(schema: T.StructType) -> dict[str, str]:
 BLOCK_SCHEMA_DDL = (
     "part_key string, chunk_id int, column string, codec string, "
     "count long, null_count long, raw_bytes long, encoded_bytes long, "
-    "varint_bytes long, min_val long, max_val long, digest string, block binary"
+    "varint_bytes long, min_val long, max_val long, "
+    "min_str string, max_str string, digest string, block binary"
 )
 
 DEFAULT_CHUNK_ROWS = 65_536
@@ -113,8 +114,26 @@ _BLOCK_PA_SCHEMA = pa.schema([
     ("codec", pa.string()), ("count", pa.int64()), ("null_count", pa.int64()),
     ("raw_bytes", pa.int64()), ("encoded_bytes", pa.int64()),
     ("varint_bytes", pa.int64()), ("min_val", pa.int64()), ("max_val", pa.int64()),
+    ("min_str", pa.string()), ("max_str", pa.string()),
     ("digest", pa.string()), ("block", pa.binary()),
 ])
+
+ZONE_STR_MAX = 64  # chars; longer minima truncate (still a lower bound)
+
+
+def _zone_str(s: str | None, is_min: bool) -> str | None:
+    """String zone stat for the chunk metadata row. ASCII-only — the one
+    regime where Python/Arrow/DuckDB (UTF-8 bytewise) and Spark
+    (UTF8String binary) comparisons all provably agree, so pruning on
+    these stats is sound everywhere the engine runs; anything else
+    stores NULL, the same non-prunable escape f64 zone stats use. A
+    truncated MIN stays a valid lower bound; a too-long MAX would need
+    the increment trick to stay an upper bound, so it stores NULL."""
+    if s is None or not s.isascii():
+        return None
+    if len(s) <= ZONE_STR_MAX:
+        return s
+    return s[:ZONE_STR_MAX] if is_min else None
 
 
 def _col_to_int64(arr: pa.Array, kind: str) -> pa.Array:
@@ -157,7 +176,7 @@ def _encode_chunk_rows(columns: dict[str, pa.Array], n: int, part_key: str,
     rows = []
     for col, kind in kinds.items():
         arr = columns[col]
-        mn = mx = None
+        mn = mx = smn = smx = None
         if kind == "f32list":
             # Arrow list layout: 4 B per element + 4 B offset per row
             n_vals = int(pa.compute.sum(pa.compute.list_value_length(arr)).as_py() or 0)
@@ -179,6 +198,10 @@ def _encode_chunk_rows(columns: dict[str, pa.Array], n: int, part_key: str,
             lens = pa.compute.binary_length(arr)
             raw_bytes = int(pa.compute.sum(lens).as_py() or 0) + 4 * n  # data + 4B offsets
             vb = raw_bytes  # reference has no string codecs; floor = raw
+            if n and arr.null_count < n:  # string zone stats (prune_chunks_str)
+                mm = pa.compute.min_max(arr)
+                smn = _zone_str(mm["min"].as_py(), is_min=True)
+                smx = _zone_str(mm["max"].as_py(), is_min=False)
             block = encode_column(arr, "str", (shared_cols or {}).get(col),
                                   fsst_cache=fsst_cache, cache_key=col)
         rows.append({
@@ -193,6 +216,8 @@ def _encode_chunk_rows(columns: dict[str, pa.Array], n: int, part_key: str,
             "varint_bytes": int(vb),
             "min_val": mn,
             "max_val": mx,
+            "min_str": smn,
+            "max_str": smx,
             "digest": hashlib.sha256(block).hexdigest(),
             "block": block,
         })
@@ -495,4 +520,44 @@ def prune_chunks(blocks: DataFrame, column: str, lo=None, hi=None) -> DataFrame:
     surviving = blocks.filter(cond).select("part_key", "chunk_id").distinct()
     # no broadcast hint: the surviving list can be millions of chunks at
     # 100 TB — AQE picks broadcast only when it actually fits
+    return blocks.join(surviving, ["part_key", "chunk_id"], "left_semi")
+
+
+def _ascii_increment(prefix: str) -> str | None:
+    """Smallest ASCII string greater than every string with ``prefix``:
+    bump the last byte below 0x7F, dropping trailing 0x7Fs. None when no
+    upper bound exists (empty / all-DEL prefix)."""
+    for i in range(len(prefix) - 1, -1, -1):
+        if ord(prefix[i]) < 0x7F:
+            return prefix[:i] + chr(ord(prefix[i]) + 1)
+    return None
+
+
+def prune_chunks_str(blocks: DataFrame, column: str, eq: str | None = None,
+                     prefix: str | None = None) -> DataFrame:
+    """Zone-map chunk pruning for STRING predicates: keep only the chunks
+    whose [min_str, max_str] can contain ``eq`` / a string starting with
+    ``prefix`` — the metadata-only stage BEFORE
+    :func:`decode_blocks_where`'s encoded-form dictionary evaluation, so
+    at 100 TB a selective string predicate drops whole chunks at the
+    blocks SCAN (the stats are plain parquet columns — the filter
+    reaches row-group statistics) without ever shipping their payload.
+    Stats exist for ASCII values ≤64 chars (``_zone_str``); NULL stats
+    and non-ASCII probes keep the chunk — pruning is always sound, never
+    required. A truncated min is a lower bound by construction, so every
+    comparison below stays conservative."""
+    if (eq is None) == (prefix is None):
+        raise ValueError("pass exactly one of eq= / prefix=")
+    probe = eq if eq is not None else prefix
+    cond = F.col("column") == column
+    if probe.isascii():
+        if eq is not None:
+            cond = cond & ((F.col("min_str") <= F.lit(eq)) | F.col("min_str").isNull()) \
+                        & ((F.col("max_str") >= F.lit(eq)) | F.col("max_str").isNull())
+        elif prefix:
+            hi = _ascii_increment(prefix)
+            cond = cond & ((F.col("max_str") >= F.lit(prefix)) | F.col("max_str").isNull())
+            if hi is not None:
+                cond = cond & ((F.col("min_str") < F.lit(hi)) | F.col("min_str").isNull())
+    surviving = blocks.filter(cond).select("part_key", "chunk_id").distinct()
     return blocks.join(surviving, ["part_key", "chunk_id"], "left_semi")
