@@ -98,3 +98,38 @@ def test_stateful_running_totals_across_batches(spark, tmp_path_factory):
                                         F.max("turn_idx").alias("mx")).collect()}
     for cid, (n, mx) in want.items():
         assert latest[cid] == (n, mx), cid
+
+
+def test_dedup_stream_against_persisted_index(spark, tmp_path_factory):
+    """Streaming near-dup filter: intra-batch copies drop in wave 1;
+    wave 2 (restarted from the same checkpoint) drops copies of INDEXED
+    docs via the persisted signatures — old text never re-read — and
+    keeps fresh docs. Keep-first: a copy of a doc that was itself
+    dropped still matches the kept original's signature."""
+    from varint_spark.streaming import dedup_stream
+
+    src = str(tmp_path_factory.mktemp("dd_src"))
+    root = str(tmp_path_factory.mktemp("dd_root"))
+    ddl = "doc_id long, text string"
+
+    def text(i):
+        return " ".join(f"tok{i}w{j}" for j in range(30))
+
+    wave1 = [(i, text(i)) for i in range(20)] + [(20, text(3))]
+    spark.createDataFrame(wave1, ddl).write.mode("append").parquet(src)
+    q = dedup_stream(spark, src, ddl, root)
+    q.awaitTermination(120)
+
+    wave2 = [(i, text(i)) for i in range(100, 110)] \
+        + [(110, text(7)), (111, text(3))]
+    spark.createDataFrame(wave2, ddl).write.mode("append").parquet(src)
+    q2 = dedup_stream(spark, src, ddl, root)
+    q2.awaitTermination(120)
+
+    clean = spark.read.parquet(f"{root}/clean")
+    assert {r.doc_id for r in clean.collect()} == \
+        set(range(20)) | set(range(100, 110))
+    idx = spark.read.parquet(f"{root}/sig_index")
+    assert {r.batch for r in idx.select("batch").distinct().collect()} == {0, 1}
+    assert {r.doc_id for r in idx.collect()} == \
+        set(range(20)) | set(range(100, 110))

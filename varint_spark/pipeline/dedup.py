@@ -153,7 +153,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
 def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
                            max_hamming: int = 3, bands: int = 8,
                            hash_mode: str = "xxhash64",
-                           max_bucket_size: int = 100_000) -> DataFrame:
+                           max_bucket_size: int = 100_000,
+                           sigs: DataFrame | None = None) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance, at scale: band
     the 64-bit simhash into ``bands`` bit slices, self-join on any shared
     (band, slice) bucket, verify candidates with the exact
@@ -182,7 +183,11 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
         raise ValueError("bands must divide 64")
     width = 64 // bands
     mask = (1 << width) - 1
-    sh = simhash(df, id_col, text_col, hash_mode)
+    # sigs: precomputed (id, simhash) — skips the tokenize+hash map pass
+    # when the caller already has signatures (e.g. the streaming dedup,
+    # which needs them again for the index append); hash_mode is then
+    # whatever produced them
+    sh = sigs if sigs is not None else simhash(df, id_col, text_col, hash_mode)
     banded = sh.select(
         id_col, "simhash",
         F.posexplode(F.array(*[
@@ -248,7 +253,8 @@ def simhash_incremental_pairs(index_sigs: DataFrame, new_docs: DataFrame,
                               id_col: str, text_col: str,
                               max_hamming: int = 3, bands: int = 8,
                               hash_mode: str = "xxhash64",
-                              max_bucket_size: int = 100_000) -> DataFrame:
+                              max_bucket_size: int = 100_000,
+                              new_sigs: DataFrame | None = None) -> DataFrame:
     """Incremental dedup: match a NEW batch of documents against an
     EXISTING corpus through its PERSISTED SimHash signatures — the old
     corpus text is never read or re-hashed. ``index_sigs`` is the stored
@@ -286,7 +292,8 @@ def simhash_incremental_pairs(index_sigs: DataFrame, new_docs: DataFrame,
     w = W.partitionBy("band", "slice")
     old_b = old_b.withColumn("_bsz", F.count("*").over(w)) \
         .filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
-    new_b = banded(simhash(new_docs, id_col, text_col, hash_mode), "new_id")
+    new_b = banded(new_sigs if new_sigs is not None
+                   else simhash(new_docs, id_col, text_col, hash_mode), "new_id")
     cand = (
         new_b.join(old_b, ["band", "slice"])
         .select("new_id", "old_id",

@@ -61,6 +61,69 @@ def decode_stream_blocks(spark: SparkSession, root: str, schema_ddl: str,
     return decode_blocks(blocks, schema_ddl, shared=shared)
 
 
+def dedup_stream(spark: SparkSession, input_dir: str, schema_ddl: str,
+                 root: str, id_col: str = "doc_id", text_col: str = "text",
+                 max_hamming: int = 3, bands: int = 8,
+                 available_now: bool = True):
+    """Streaming near-duplicate filter against a PERSISTED signature
+    index — the shape a training-data ingest actually runs: documents
+    arrive continuously, each micro-batch is deduplicated against
+    EVERYTHING kept so far without ever re-reading old text (the index
+    is 16 B/doc SimHash signatures), survivors append to ``clean/`` and
+    their signatures to ``sig_index/``.
+
+    Keep-first policy (greedy, deterministic): a document is dropped iff
+    it is within ``max_hamming`` of an already-indexed document
+    (:func:`...dedup.simhash_incremental_pairs`, pigeonhole-exact) or of
+    a lower-id document in its own micro-batch
+    (:func:`...dedup.simhash_near_dup_pairs`). Not a transitive
+    closure — the standard corpus-dedup semantics.
+
+    Exactly-once across failures: both outputs are epoch-scoped
+    overwrites (replaying a failed epoch rewrites the same dirs), and
+    the index read filters to ``batch < epoch`` so a half-written
+    failed attempt of THIS epoch can never feed its own replay."""
+    from .pipeline import dedup
+
+    clean_dir = str(Path(root) / "clean")
+    index_dir = str(Path(root) / "sig_index")
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        sigs = dedup.simhash(batch_df, id_col, text_col).persist()
+        intra = dedup.simhash_near_dup_pairs(
+            batch_df, id_col, text_col, max_hamming=max_hamming,
+            bands=bands, sigs=sigs)
+        drop = intra.select(F.col("id_b").alias(id_col))
+        sess = batch_df.sparkSession
+        try:
+            index = sess.read.parquet(index_dir) \
+                .filter(F.col("batch") < epoch_id).select(id_col, "simhash")
+        except Exception:  # first epoch: no index yet
+            index = None
+        if index is not None:
+            cross = dedup.simhash_incremental_pairs(
+                index, None, id_col, text_col, max_hamming=max_hamming,
+                bands=bands, new_sigs=sigs)
+            drop = drop.union(cross.select(F.col("new_id").alias(id_col)))
+        drop = drop.distinct()
+        kept = batch_df.join(drop, id_col, "left_anti")
+        kept.write.mode("overwrite").parquet(f"{clean_dir}/batch={epoch_id}")
+        sigs.join(drop, id_col, "left_anti") \
+            .write.mode("overwrite").parquet(f"{index_dir}/batch={epoch_id}")
+        batch_df.unpersist()
+        sigs.unpersist()
+
+    stream = spark.readStream.schema(schema_ddl).parquet(input_dir)
+    writer = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", str(Path(root) / "_dedup_checkpoint"))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_turn_stats(stream_df: DataFrame, ts_col: str = "ts",
                         window: str = "1 hour",
                         watermark: str = "15 minutes",
