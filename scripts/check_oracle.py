@@ -16,8 +16,14 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 import __spark_entry__ as entrymod
 from varint_spark.session import get_spark
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = sys.argv[2:] or None
+ARGS = [a for a in sys.argv[1:] if a != "--spark-only"]
+# --spark-only: run and time only the Spark side (no DuckDB compare) —
+# for scale-factor robustness runs where an oracle is deliberately
+# exhaustive (the O(n²) near-dup ground truths) and can't follow the
+# engine past toy scale
+SPARK_ONLY = "--spark-only" in sys.argv[1:]
+SF_DIR = ARGS[0] if ARGS else "/root/testdata/sf0.01"
+ONLY = ARGS[1:] or None
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -49,6 +55,10 @@ def main():
         t0 = time.time()
         sdf = fn(spark, SF_DIR).toPandas()
         t1 = time.time()
+        if SPARK_ONLY:
+            print(f"  {name}: SPARK-ONLY, {len(sdf)} rows ({t1-t0:.1f}s)")
+            assert len(sdf) > 0, name
+            continue
         if name not in oracles:
             print(f"  {name}: rows-only, {len(sdf)} rows ({t1-t0:.1f}s)")
             assert len(sdf) > 0, name
