@@ -499,6 +499,33 @@ def _q_str_zone_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                                prefix="src1")
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream (24 h gap): one
+    shuffle on the user key shared by the lag/cumsum windows AND the
+    session rollup (HashPartitioning(user) satisfies the (user,
+    session_idx) grouping — no second exchange). Session-level output:
+    count, start/end/duration in µs."""
+    from varint_spark.pipeline import sessions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessions.session_stats(ev, gap_minutes=1440)
+
+
+def _q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture re-weighting: per-source keep rates by
+    id-hash threshold (a row's fate depends only on its id — stable
+    across runs, partitionings, and engines; no shuffle, filter at the
+    scan). Portable hash mode so the oracle replays the same arithmetic;
+    production uses xxhash64. Unlisted sources drop — the training-mix
+    semantics."""
+    from varint_spark.pipeline import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fr = {"src1": 1.0, "src3": 0.5, "src5": 0.25, "src7": 0.1}
+    return sampling.mixture_counts(docs, "source", "doc_id", fr,
+                                   seed=42, hash_mode="portable")
+
+
 def _q_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -1185,6 +1212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_in_pushdown": _q_str_in_pushdown,
         "str_like_pushdown": _q_str_like_pushdown,
         "str_zone_prune": _q_str_zone_prune,
+        "sessionize_events": _q_sessionize,
+        "sample_mixture": _q_sample_mixture,
         "dedup_incremental": _q_dedup_incremental,
         "roundtrip_events": _rt("events", "user_id", "event_id"),
         "roundtrip_orders": _rt("orders", "o_custkey", "o_orderkey"),
@@ -1543,6 +1572,40 @@ def oracle_sql() -> dict[str, str]:
         # encoded-form dictionary range — result must equal a plain WHERE
         "str_zone_prune": (
             "SELECT doc_id, source FROM documents WHERE source LIKE 'src1%'"
+        ),
+        # gap sessionization replayed as lag + running-sum windows; the
+        # (ts, event_id) order is total so ties break identically
+        "sessionize_events": (
+            "WITH flags AS ("
+            "  SELECT user_id, ts, event_id,"
+            "    CASE WHEN lag(ts) OVER w IS NULL"
+            "      OR epoch_us(ts) - epoch_us(lag(ts) OVER w)"
+            "         > 86400000000 THEN 1 ELSE 0 END AS is_new"
+            "  FROM events WINDOW w AS"
+            "    (PARTITION BY user_id ORDER BY ts, event_id)),"
+            " tagged AS ("
+            "  SELECT user_id, ts,"
+            "    SUM(is_new) OVER (PARTITION BY user_id"
+            "      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)"
+            "      AS session_idx"
+            "  FROM flags)"
+            " SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,"
+            "  CAST(COUNT(*) AS BIGINT) AS n_events,"
+            "  CAST(MIN(epoch_us(ts)) AS BIGINT) AS start_us,"
+            "  CAST(MAX(epoch_us(ts)) AS BIGINT) AS end_us,"
+            "  CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT)"
+            "    AS duration_us"
+            " FROM tagged GROUP BY user_id, session_idx"
+        ),
+        # the portable hash-threshold mixture, replayed term by term
+        "sample_mixture": (
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,"
+            " CAST(SUM(doc_id) AS BIGINT) AS sum_ids"
+            " FROM documents"
+            " WHERE ((doc_id % 1000003) * 4099 + 42) % 1000000 <"
+            "   CASE source WHEN 'src1' THEN 1000000 WHEN 'src3' THEN 500000"
+            "     WHEN 'src5' THEN 250000 WHEN 'src7' THEN 100000 END"
+            " GROUP BY source"
         ),
         # daily rows straight from raw — the Spark side cascades them
         # from the hourly rollup, so this gates the refresh identity

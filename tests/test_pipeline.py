@@ -511,3 +511,60 @@ def test_minhash_incremental_matches_union_lsh(spark, docs):
     want = {(r.id_b, r.id_a) for r in union_pairs.collect()
             if r.id_a in old_ids and r.id_b in new_ids}
     assert got == want
+
+
+def test_sessionize_gap_semantics(spark):
+    """Strict-gap boundary, deterministic ties, 1-based indices."""
+    from varint_spark.pipeline import sessions
+
+    MIN = 60_000_000  # µs
+    rows = [  # user 1: gaps exactly 30min (no split) and 30min+1µs (split)
+        (1, 1, 0), (2, 1, 30 * MIN), (3, 1, 60 * MIN + 1),
+        # user 2: tie on ts -> event_id breaks it, same session
+        (10, 2, 5 * MIN), (11, 2, 5 * MIN), (12, 2, 200 * MIN),
+    ]
+    import datetime
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(e, u, base + datetime.timedelta(microseconds=off))
+         for e, u, off in rows], "event_id long, user_id long, ts timestamp_ntz")
+    got = {r.event_id: r.session_idx
+           for r in sessions.sessionize(df, gap_minutes=30).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 10: 1, 11: 1, 12: 2}
+    stats = {(r.user_id, r.session_idx): (r.n_events, r.duration_us)
+             for r in sessions.session_stats(df, gap_minutes=30).collect()}
+    assert stats[(1, 1)] == (2, 30 * MIN)
+    assert stats[(1, 2)] == (1, 0)
+    assert stats[(2, 2)] == (1, 0)
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    from varint_spark.pipeline import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    fr = {"src1": 1.0, "src3": 0.5, "src5": 0.0}
+    kept = sampling.stratified_sample(docs, "source", "doc_id", fr)
+    rows = kept.select("doc_id", "source").collect()
+    srcs = {r.source for r in rows}
+    assert "src1" in srcs and "src5" not in srcs
+    assert srcs <= {"src1", "src3"}  # unlisted sources dropped
+    n_src1_all = docs.filter("source = 'src1'").count()
+    assert sum(1 for r in rows if r.source == "src1") == n_src1_all
+    # determinism across partitionings: same ids regardless of layout
+    ids1 = {r.doc_id for r in rows}
+    ids2 = {r.doc_id for r in
+            sampling.stratified_sample(docs.repartition(13), "source",
+                                       "doc_id", fr).collect()}
+    assert ids1 == ids2
+    # global float rate: roughly the asked fraction (500-doc table),
+    # exactly reproducible
+    half = sampling.stratified_sample(docs, "source", "doc_id", 0.5)
+    n = half.count()
+    assert abs(n - 250) < 50 and n == sampling.stratified_sample(
+        docs, "source", "doc_id", 0.5).count()
+    # portable mode replays as plain arithmetic
+    port = sampling.stratified_sample(docs, "source", "doc_id", 0.25,
+                                      hash_mode="portable")
+    want = {r.doc_id for r in docs.collect()
+            if ((r.doc_id % 1000003) * 4099 + 42) % 1000000 < 250000}
+    assert {r.doc_id for r in port.collect()} == want

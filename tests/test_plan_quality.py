@@ -81,3 +81,26 @@ def test_asof_join_is_one_shuffle_window_scan(spark):
     plan = _plan(asof_join_backward(p, c, "user_id", "ts", "ts", ["click_id"]))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert plan.count("Window") == 1, plan
+
+
+def test_sessionize_rollup_reuses_window_partitioning(spark):
+    """session_stats: the lag/cumsum windows shuffle on user_id ONCE and
+    the (user_id, session_idx) rollup reuses that partitioning —
+    HashPartitioning(user) satisfies the superset clustering, so exactly
+    one Exchange in the whole plan."""
+    from varint_spark.pipeline import sessions
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(sessions.session_stats(ev, gap_minutes=1440))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    """The hash-threshold sample is a pure filter: no Exchange, no UDF —
+    it runs at the scan."""
+    from varint_spark.pipeline import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(sampling.stratified_sample(docs, "source", "doc_id", 0.5))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
