@@ -1006,6 +1006,40 @@ def _q_segment_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(10))
 
 
+def _q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-table join: revenue per nation for one region
+    and order year. Join strategy by size class: region⋈nation is
+    broadcast EXPLICITLY (constant-size dims); customer and supplier
+    joins carry no hint — they scale with SF, so AQE broadcasts them
+    while they fit an executor and falls back to shuffle beyond (forcing
+    broadcast here would OOM a 100-TB run); lineitem⋈orders is the one
+    genuine big⋈big shuffle, on the order key."""
+    re = spark.read.parquet(f"{sf_dir}/region.parquet")
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    asia = (na.join(F.broadcast(re.filter(F.col("r_name") == "ASIA")),
+                    na.n_regionkey == re.r_regionkey)
+            .select("n_nationkey", "n_name"))
+    od_f = od.filter((F.col("o_orderdate") >= F.lit("1996-01-01"))
+                     & (F.col("o_orderdate") < F.lit("1997-01-01"))) \
+        .select("o_orderkey", "o_custkey")
+    j = (li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+         .join(od_f, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(cu.select("c_custkey", "c_nationkey"),
+               F.col("o_custkey") == F.col("c_custkey"))
+         .join(su.select("s_suppkey", "s_nationkey"),
+               (F.col("l_suppkey") == F.col("s_suppkey"))
+               & (F.col("c_nationkey") == F.col("s_nationkey")))
+         .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey")))
+    return (j.groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "n_name"))
+
+
 def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitmap set-algebra analog (ref varintBitmapAnd/Or/Xor,
     src/varintBitmap.c:442-528): AND/OR/ANDNOT on user-id sets via
@@ -1214,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_zone_prune": _q_str_zone_prune,
         "sessionize_events": _q_sessionize,
         "sample_mixture": _q_sample_mixture,
+        "q5_regional_revenue": _q_regional_revenue,
         "dedup_incremental": _q_dedup_incremental,
         "roundtrip_events": _rt("events", "user_id", "event_id"),
         "roundtrip_orders": _rt("orders", "o_custkey", "o_orderkey"),
@@ -1875,6 +1910,21 @@ def oracle_sql() -> dict[str, str]:
             " WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"
             " AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'"
             " AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"
+        ),
+        "q5_regional_revenue": (
+            "SELECT n_name,"
+            " ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue"
+            " FROM lineitem"
+            " JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN supplier ON l_suppkey = s_suppkey"
+            "   AND c_nationkey = s_nationkey"
+            " JOIN nation ON s_nationkey = n_nationkey"
+            " JOIN region ON n_regionkey = r_regionkey"
+            " WHERE r_name = 'ASIA'"
+            " AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"
+            " AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"
+            " GROUP BY n_name ORDER BY revenue DESC, n_name"
         ),
         "q3_segment_top_orders": (
             "SELECT l_orderkey,"
