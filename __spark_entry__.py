@@ -1006,6 +1006,18 @@ def _q_segment_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(10))
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: per-source next-fit bins
+    at a 1000-char budget, documents in doc_id order (pipeline/packing
+    module docstring has the shard-parallel scale rationale). Next-fit
+    is exactly replayable as a recursive CTE, so the oracle checks the
+    PER-DOCUMENT bin assignment, not just bin invariants."""
+    from varint_spark.pipeline import packing
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return packing.pack_next_fit(docs, "source", "doc_id", "n_chars", 1000)
+
+
 def _q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped 6-table join: revenue per nation for one region
     and order year. Join strategy by size class: region⋈nation is
@@ -1249,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize,
         "sample_mixture": _q_sample_mixture,
         "q5_regional_revenue": _q_regional_revenue,
+        "pack_sequences": _q_pack_sequences,
         "dedup_incremental": _q_dedup_incremental,
         "roundtrip_events": _rt("events", "user_id", "event_id"),
         "roundtrip_orders": _rt("orders", "o_custkey", "o_orderkey"),
@@ -1910,6 +1923,25 @@ def oracle_sql() -> dict[str, str]:
             " WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"
             " AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'"
             " AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"
+        ),
+        # next-fit packing replayed as a recursive CTE: one recursion
+        # step per document rank within its source shard
+        "pack_sequences": (
+            "WITH RECURSIVE t AS ("
+            "  SELECT doc_id, source, n_chars,"
+            "    row_number() OVER (PARTITION BY source ORDER BY doc_id)"
+            "      AS rn FROM documents),"
+            " p AS ("
+            "  SELECT doc_id, source, rn, n_chars AS fill,"
+            "    CAST(0 AS BIGINT) AS bin FROM t WHERE rn = 1"
+            "  UNION ALL"
+            "  SELECT t.doc_id, t.source, t.rn,"
+            "    CASE WHEN p.fill + t.n_chars > 1000 THEN t.n_chars"
+            "      ELSE p.fill + t.n_chars END,"
+            "    CASE WHEN p.fill + t.n_chars > 1000 THEN p.bin + 1"
+            "      ELSE p.bin END"
+            "  FROM t JOIN p ON t.source = p.source AND t.rn = p.rn + 1)"
+            " SELECT doc_id, source, bin FROM p"
         ),
         "q5_regional_revenue": (
             "SELECT n_name,"

@@ -568,3 +568,38 @@ def test_stratified_sample_deterministic_and_stratified(spark):
     want = {r.doc_id for r in docs.collect()
             if ((r.doc_id % 1000003) * 4099 + 42) % 1000000 < 250000}
     assert {r.doc_id for r in port.collect()} == want
+
+
+def test_pack_next_fit_semantics(spark):
+    """Budget respected (except oversized singletons), corpus order
+    preserved within bins, deterministic across partitionings."""
+    import pytest
+
+    from varint_spark.pipeline import packing
+
+    rows = [(i, "a", L) for i, L in
+            enumerate([400, 400, 300, 900, 2500, 100, 100])] \
+        + [(100 + i, "b", 600) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n_chars long")
+    got = {r.doc_id: r.bin for r in packing.pack_next_fit(
+        df, "src", "doc_id", "n_chars", 1000).collect()}
+    # a: [400+400] [300] <- 900 overflows? 400+400=800, +300=1100>1000 ->
+    # bin1 starts at 300, +900=1200>1000 -> bin2=900, +2500>1000 ->
+    # bin3=2500 (oversized alone), 100 -> bin4, +100 -> bin4
+    assert got[0] == 0 and got[1] == 0
+    assert got[2] == 1
+    assert got[3] == 2
+    assert got[4] == 3          # oversized doc gets its own bin
+    assert got[5] == 4 and got[6] == 4
+    assert [got[100 + i] for i in range(4)] == [0, 1, 2, 3]  # 600+600 > 1000
+    got2 = {r.doc_id: r.bin for r in packing.pack_next_fit(
+        df.repartition(7), "src", "doc_id", "n_chars", 1000).collect()}
+    assert got == got2
+    stats = {(r.src, r.bin): (r.n_docs, r.total_len)
+             for r in packing.pack_stats(df, "src", "doc_id",
+                                         "n_chars", 1000).collect()}
+    assert stats[("a", 0)] == (2, 800)
+    assert stats[("a", 3)] == (1, 2500)
+    assert all(t <= 1000 or n == 1 for n, t in stats.values())
+    with pytest.raises(ValueError, match="positive"):
+        packing.pack_next_fit(df, "src", "doc_id", "n_chars", 0)
