@@ -1006,6 +1006,50 @@ def _q_segment_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(10))
 
 
+def _q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across epochs: an OLD epoch encoded before
+    ``n_chars`` existed and a NEW epoch with it, decoded through ONE
+    reader schema (decode_blocks missing_ok=True) — old rows surface
+    typed NULLs, exactly what the oracle's CASE replays. Epoch part_keys
+    are namespaced the same way the streaming layer does, so chunk ids
+    never collide."""
+    from varint_spark.engine import (EncodeOptions, decode_blocks,
+                                     encode_transcripts)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    opts = EncodeOptions(num_buckets=4, chunk_rows=2048, salt_span=2**40,
+                         group_col="lang", order_col="doc_id")
+    old = encode_transcripts(
+        docs.filter("doc_id % 2 = 0").select("doc_id", "lang"), opts)
+    new = encode_transcripts(
+        docs.filter("doc_id % 2 = 1").select("doc_id", "lang", "n_chars"), opts)
+    both = old.withColumn("part_key", F.concat(F.lit("e0/"), F.col("part_key"))) \
+        .unionByName(new.withColumn("part_key",
+                                    F.concat(F.lit("e1/"), F.col("part_key"))))
+    return decode_blocks(both, "doc_id bigint, lang string, n_chars bigint",
+                         missing_ok=True)
+
+
+def _q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk compaction gate: documents encoded at a deliberately small
+    chunk size (the streaming-epoch debris shape), compacted 8× within
+    each partition (engine.compact_blocks — one part_key shuffle, no
+    global reshuffle, part_keys stable), decoded back. The oracle reads
+    the ORIGINAL table, so any row lost/duplicated/reordered-in-value by
+    the merge hash-fails."""
+    from varint_spark.engine import (EncodeOptions, compact_blocks,
+                                     decode_blocks, encode_transcripts)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "lang", "source", "text")
+    ddl = "doc_id bigint, lang string, source string, text string"
+    opts = EncodeOptions(num_buckets=8, chunk_rows=256, salt_span=2**40,
+                         group_col="lang", order_col="doc_id")
+    blocks = encode_transcripts(docs, opts)
+    merged = compact_blocks(blocks, ddl, 2048, group_col="lang")
+    return decode_blocks(merged, ddl)
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training batches: per-source next-fit bins
     at a 1000-char budget, documents in doc_id order (pipeline/packing
@@ -1262,6 +1306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture": _q_sample_mixture,
         "q5_regional_revenue": _q_regional_revenue,
         "pack_sequences": _q_pack_sequences,
+        "compact_roundtrip": _q_compact_roundtrip,
+        "schema_evolution": _q_schema_evolution,
         "dedup_incremental": _q_dedup_incremental,
         "roundtrip_events": _rt("events", "user_id", "event_id"),
         "roundtrip_orders": _rt("orders", "o_custkey", "o_orderkey"),
@@ -1923,6 +1969,16 @@ def oracle_sql() -> dict[str, str]:
             " WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"
             " AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'"
             " AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"
+        ),
+        # the evolved reader schema: pre-evolution rows are NULL
+        "schema_evolution": (
+            "SELECT doc_id, lang,"
+            " CASE WHEN doc_id % 2 = 0 THEN NULL ELSE n_chars END AS n_chars"
+            " FROM documents"
+        ),
+        # compaction must be value-lossless: oracle is the original table
+        "compact_roundtrip": (
+            "SELECT doc_id, lang, source, text FROM documents"
         ),
         # next-fit packing replayed as a recursive CTE: one recursion
         # step per document rank within its source shard

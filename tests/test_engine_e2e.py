@@ -221,3 +221,66 @@ def test_zone_map_string_pruning(spark):
                           group_col="g", order_col="id")
     b2 = encode_transcripts(df2, opts2)
     assert prune_chunks_str(b2, "v", prefix="anything").count() == b2.count()
+
+
+def test_compact_blocks_identity_and_merge(spark, small_transcripts):
+    """Compacting at the ORIGINAL chunk size is byte-identical (digests
+    match — determinism invariant); compacting to 4× merges chunks,
+    preserves every row, and is itself deterministic."""
+    import pyspark.sql.functions as SF
+
+    from varint_spark.engine import compact_blocks
+
+    blocks = encode_transcripts(small_transcripts, OPTS).cache()
+
+    def digest_map(b):
+        return {(r.part_key, r.chunk_id, r.column): r.digest
+                for r in b.select("part_key", "chunk_id", "column",
+                                  "digest").collect()}
+
+    same = compact_blocks(blocks, transcripts.TRANSCRIPT_DDL,
+                          OPTS.chunk_rows, group_col="conv_id")
+    assert digest_map(same) == digest_map(blocks)
+
+    merged = compact_blocks(blocks, transcripts.TRANSCRIPT_DDL,
+                            OPTS.chunk_rows * 4, group_col="conv_id")
+    n_before = blocks.select("part_key", "chunk_id").distinct().count()
+    n_after = merged.select("part_key", "chunk_id").distinct().count()
+    assert n_after < n_before
+    assert set(r.part_key for r in merged.select("part_key").distinct().collect()) \
+        == set(r.part_key for r in blocks.select("part_key").distinct().collect())
+    left = decode_blocks(blocks, transcripts.TRANSCRIPT_DDL) \
+        .orderBy("conv_id", "turn_idx").toPandas()
+    right = decode_blocks(merged, transcripts.TRANSCRIPT_DDL) \
+        .orderBy("conv_id", "turn_idx").toPandas()
+    pd.testing.assert_frame_equal(left.reset_index(drop=True),
+                                  right.reset_index(drop=True))
+    again = compact_blocks(blocks.repartition(11), transcripts.TRANSCRIPT_DDL,
+                           OPTS.chunk_rows * 4, group_col="conv_id")
+    assert digest_map(again) == digest_map(merged)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positive"):
+        compact_blocks(blocks, transcripts.TRANSCRIPT_DDL, 0)
+
+
+def test_decode_missing_column_schema_evolution(spark, small_transcripts):
+    """missing_ok=True: a column with no stored blocks decodes as typed
+    nulls; without the flag the decode fails loudly; projection of only
+    stored columns is unaffected."""
+    import pytest as _pytest
+
+    narrow = small_transcripts.select("conv_id", "turn_idx", "role")
+    blocks = encode_transcripts(narrow, OPTS).cache()
+    ddl = ("conv_id string, turn_idx bigint, role string, "
+           "score double, ts timestamp")
+    out = decode_blocks(blocks, ddl, missing_ok=True)
+    rows = out.collect()
+    assert len(rows) == narrow.count()
+    assert all(r.score is None and r.ts is None for r in rows)
+    assert {r.conv_id for r in rows} == \
+        {r.conv_id for r in narrow.collect()}
+    with _pytest.raises(Exception):
+        decode_blocks(blocks, ddl).collect()  # loud without the flag
+    # verify=True skips digest checks only for the absent columns
+    assert decode_blocks(blocks, ddl, missing_ok=True,
+                         verify=True).count() == narrow.count()

@@ -317,8 +317,15 @@ def _decoded_to_output(arr: pa.Array, kind: str) -> pa.Array:
     return arr
 
 
+_NULL_OUTPUT_TYPES = {
+    "int32": pa.int32(), "int64": pa.int64(),
+    "ts": pa.timestamp("us", tz="UTC"), "tsntz": pa.timestamp("us"),
+    "f64": pa.float64(), "str": pa.string(), "f32list": pa.list_(pa.float32()),
+}
+
+
 def make_decode_udf(kinds: dict[str, str], out_ddl_cols: list[str], shared=None,
-                    verify: bool = False):
+                    verify: bool = False, missing_ok: bool = False):
     def decode_group(key, table):
         shared_cols = _resolve_shared(shared, kinds) or {}
         names = table.column("column").to_pylist()
@@ -327,14 +334,23 @@ def make_decode_udf(kinds: dict[str, str], out_ddl_cols: list[str], shared=None,
         if verify:  # integrity: stored digest must match block bytes
             digests = dict(zip(names, table.column("digest").to_pylist()))
             for col in out_ddl_cols:
+                if missing_ok and col not in by_col:
+                    continue
                 got = hashlib.sha256(by_col[col]).hexdigest()
                 if got != digests[col]:
                     raise ValueError(
                         f"block digest mismatch for column {col!r} "
                         f"(stored {digests[col][:12]}…, got {got[:12]}…)"
                     )
+        n = int(table.column("count")[0].as_py())
         arrays = [
-            _decoded_to_output(decode_column(by_col[col], shared_cols.get(col)), kinds[col])
+            # schema evolution: a column added after these blocks were
+            # written decodes as typed nulls (missing_ok=True)
+            pa.nulls(n, _NULL_OUTPUT_TYPES[kinds[col]])
+            if missing_ok and col not in by_col
+            else _decoded_to_output(decode_column(by_col[col],
+                                                  shared_cols.get(col)),
+                                    kinds[col])
             for col in out_ddl_cols
         ]
         return pa.Table.from_arrays(arrays, names=out_ddl_cols)
@@ -360,13 +376,20 @@ def kinds_for_ddl(schema_ddl: str) -> dict[str, str]:
 
 def decode_blocks(blocks: DataFrame, schema_ddl: str, kinds: dict[str, str] | None = None,
                   shared=None, columns: list[str] | None = None,
-                  verify: bool = False) -> DataFrame:
+                  verify: bool = False, missing_ok: bool = False) -> DataFrame:
     """Encoded block rows -> original rows (order-insensitive).
 
     ``columns``: optional projection — only those columns' blocks are read
     and decoded (the column-pruning analog for the block store: the filter
     on ``column`` pushes down into the blocks parquet scan, so pruned
-    columns' bytes never leave disk)."""
+    columns' bytes never leave disk).
+
+    ``missing_ok``: schema evolution — columns in ``schema_ddl`` that have
+    no stored blocks (added to the table after these partitions were
+    written) decode as typed NULLs instead of failing, so one reader
+    schema spans old and new epochs; the caller applies defaults with
+    ``coalesce``. Columns REMOVED from the reader schema need no flag —
+    that's the ``columns=`` projection."""
     fields = [f.strip() for f in schema_ddl.split(",")]
     if columns:
         fields = [f for f in fields if f.split()[0] in set(columns)]
@@ -374,7 +397,7 @@ def decode_blocks(blocks: DataFrame, schema_ddl: str, kinds: dict[str, str] | No
         blocks = blocks.filter(F.col("column").isin(list(columns)))
     cols = [f.split()[0] for f in fields]
     kinds = kinds or kinds_for_ddl(schema_ddl)
-    fn = make_decode_udf(kinds, cols, shared, verify)
+    fn = make_decode_udf(kinds, cols, shared, verify, missing_ok)
     return blocks.groupBy("part_key", "chunk_id").applyInArrow(fn, schema_ddl)
 
 
@@ -469,6 +492,64 @@ def decode_blocks_where(blocks: DataFrame, schema_ddl: str, filter_col: str,
     fn = make_decode_where_udf(kinds, cols, filter_col, lo, hi, eq, prefix,
                                list(isin) if isin is not None else None, like)
     return blocks.groupBy("part_key", "chunk_id").applyInArrow(fn, schema_ddl)
+
+
+def compact_blocks(blocks: DataFrame, schema_ddl: str, target_chunk_rows: int,
+                   kinds: dict[str, str] | None = None, shared=None,
+                   group_col: str | None = None,
+                   f64_precision: str | None = None,
+                   f32_precision: str | None = None) -> DataFrame:
+    """Chunk compaction — the small-chunks maintenance pass a long-lived
+    block store needs (streaming epochs and fine-grained encodes leave
+    sub-optimal chunks; bigger chunks amortize headers and widen
+    random-access strides). Re-chunks every partition to
+    ``target_chunk_rows`` with ONE shuffle on ``part_key`` and NO global
+    reshuffle: rows never leave their partition, so this scales like a
+    groupBy regardless of store size, and part_keys stay stable so
+    resume/lineage identities survive. Within a group: decode chunks in
+    chunk_id order (in-chunk order is the encode order, so the
+    partition's row order is exactly reproduced), re-chunk, re-encode
+    through the same selector/cost gate — compacting at the ORIGINAL
+    chunk size is a byte-identical no-op (tested), the block-bytes
+    determinism invariant holds by construction. Pass ``group_col`` to
+    recompute segment restarts for the segment-aware delta codec."""
+    kinds = kinds or kinds_for_ddl(schema_ddl)
+    if target_chunk_rows <= 0:
+        raise ValueError(f"target_chunk_rows must be positive, got {target_chunk_rows}")
+    cols = list(kinds)
+
+    def fn(key, table):
+        part_key = key[0].as_py()
+        shared_cols = _resolve_shared(shared, kinds)
+        names = table.column("column").to_pylist()
+        cids = table.column("chunk_id").to_pylist()
+        blks = table.column("block").to_pylist()
+        per_col: dict[str, list] = {c: [] for c in cols}
+        for nm, cid, b in zip(names, cids, blks):
+            if nm in per_col:
+                per_col[nm].append((cid, b))
+        arrs = {}
+        for col in cols:
+            parts = sorted(per_col[col], key=lambda t: t[0])
+            sc = (shared_cols or {}).get(col)
+            chunks = [_decoded_to_output(decode_column(b, sc), kinds[col])
+                      for _, b in parts]
+            arrs[col] = pa.concat_arrays(chunks) if len(chunks) > 1 else chunks[0]
+        n = len(arrs[cols[0]])
+        out: list[dict] = []
+        fsst_cache: dict = {}
+        for chunk_id, start in enumerate(range(0, n, target_chunk_rows)):
+            m = min(target_chunk_rows, n - start)
+            chunk_cols = {c: a.slice(start, m) for c, a in arrs.items()}
+            segments = (_run_lengths(chunk_cols[group_col])
+                        if group_col in chunk_cols else None)
+            out.extend(_encode_chunk_rows(chunk_cols, m, part_key, chunk_id,
+                                          kinds, shared_cols, segments,
+                                          fsst_cache, f64_precision,
+                                          f32_precision))
+        return pa.Table.from_pylist(out, schema=_BLOCK_PA_SCHEMA)
+
+    return blocks.groupBy("part_key").applyInArrow(fn, BLOCK_SCHEMA_DDL)
 
 
 def roundtrip(df: DataFrame, group_col: str, order_col: str,

@@ -142,14 +142,17 @@ def synthesize_wav_media(docs: DataFrame, id_col: str = "doc_id",
     16-bit samples ``s_k = (d*31 + k*7) % 65536 - 32768`` at 8 kHz. The
     WAV container + :func:`decode_wav` are then the only untrusted links
     between the relational oracle and the decoded features — exactly what
-    the multimodal_real_decode gate exercises. (Synthesis loops per row:
-    it is fixture machinery, not a pipeline hot path.)"""
+    the multimodal_real_decode gate exercises. (Per-payload container
+    assembly loops per row: fixture machinery, not a pipeline hot path;
+    the length pass is an Arrow kernel.)"""
     import pyarrow as pa_mod
 
     def udf(iterator):
         for tbl in iterator:
             ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
-            lens = [len(t) for t in tbl.column(text_col).to_pylist()]
+            import pyarrow.compute as pc_mod
+            lens = pc_mod.utf8_length(tbl.column(text_col)) \
+                .to_numpy(zero_copy_only=False)
             payloads = []
             for d, ln in zip(ids, lens):
                 n = ln % 64 + 16
@@ -230,7 +233,9 @@ def synthesize_ppm_media(docs: DataFrame, id_col: str = "doc_id",
     def udf(iterator):
         for tbl in iterator:
             ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
-            lens = [len(t) for t in tbl.column(text_col).to_pylist()]
+            import pyarrow.compute as pc_mod
+            lens = pc_mod.utf8_length(tbl.column(text_col)) \
+                .to_numpy(zero_copy_only=False)
             payloads = []
             for d, ln in zip(ids, lens):
                 d = int(d)
