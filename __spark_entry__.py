@@ -1006,6 +1006,35 @@ def _q_segment_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(10))
 
 
+def _q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering gate: events laid out on the Morton curve of
+    (user_id, ts) — both dimensions' zone maps prune chunks
+    (varint_spark.zorder module docstring; the payoff assertion lives in
+    tests/test_zorder.py), then decode + exact filter. The oracle is the
+    plain two-predicate WHERE, so layout games can never change the
+    answer — only which chunks ship."""
+    from varint_spark.engine import (EncodeOptions, decode_blocks,
+                                     encode_transcripts, prune_chunks)
+    from varint_spark.zorder import with_zorder
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_id", "ts", "user_id")
+    zdf = with_zorder(ev, ["user_id", "ts"], bits=16)
+    zdf = zdf.withColumn("_zb", F.shiftrightunsigned("_z", 24).cast("long"))
+    opts = EncodeOptions(num_buckets=8, chunk_rows=1024, salt_span=2**60,
+                         group_col="_zb", order_col="_z")
+    kinds = {"event_id": "int64", "ts": "tsntz", "user_id": "int64"}
+    blocks = encode_transcripts(zdf, opts, kinds=kinds)
+    lo_ts = 1704672000 * 1_000_000  # 2024-01-08 UTC, epoch-µs
+    hi_ts = 1705536000 * 1_000_000  # 2024-01-18 UTC
+    pruned = prune_chunks(prune_chunks(blocks, "user_id", 10, 60),
+                          "ts", lo_ts, hi_ts)
+    out = decode_blocks(pruned, "event_id bigint, ts timestamp_ntz, user_id bigint")
+    return out.filter(
+        F.col("user_id").between(10, 60)
+        & F.unix_micros(F.to_timestamp("ts")).between(lo_ts, hi_ts))
+
+
 def _q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution across epochs: an OLD epoch encoded before
     ``n_chars`` existed and a NEW epoch with it, decoded through ONE
@@ -1308,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "compact_roundtrip": _q_compact_roundtrip,
         "schema_evolution": _q_schema_evolution,
+        "zorder_prune": _q_zorder_prune,
         "dedup_incremental": _q_dedup_incremental,
         "roundtrip_events": _rt("events", "user_id", "event_id"),
         "roundtrip_orders": _rt("orders", "o_custkey", "o_orderkey"),
@@ -1969,6 +1999,13 @@ def oracle_sql() -> dict[str, str]:
             " WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"
             " AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'"
             " AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"
+        ),
+        # the z-order layout can only change which chunks ship, never
+        # the answer: oracle is the plain two-predicate WHERE
+        "zorder_prune": (
+            "SELECT event_id, ts, user_id FROM events"
+            " WHERE user_id BETWEEN 10 AND 60"
+            " AND epoch_us(ts) BETWEEN 1704672000000000 AND 1705536000000000"
         ),
         # the evolved reader schema: pre-evolution rows are NULL
         "schema_evolution": (
