@@ -1006,6 +1006,21 @@ def _q_segment_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(10))
 
 
+def _q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index conjunctive search: token→doc-id postings as the
+    engine's own Roaring-style bitmaps (distributed partial build +
+    container-level OR merge, bitmap_index), query = serialized AND of
+    the two terms' postings + one decode (pipeline/textindex.py). The
+    oracle recomputes membership from raw text, so the whole index
+    build+algebra chain is value-gated."""
+    from varint_spark.pipeline import textindex
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    postings = textindex.build_token_postings(
+        docs, "doc_id", "text", vocab=["join", "filter", "scan"])
+    return textindex.search_all_terms(spark, postings, ["join", "filter"])
+
+
 def _q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering gate: events laid out on the Morton curve of
     (user_id, ts) — both dimensions' zone maps prune chunks
@@ -1338,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_roundtrip": _q_compact_roundtrip,
         "schema_evolution": _q_schema_evolution,
         "zorder_prune": _q_zorder_prune,
+        "text_search_postings": _q_text_search,
         "dedup_incremental": _q_dedup_incremental,
         "roundtrip_events": _rt("events", "user_id", "event_id"),
         "roundtrip_orders": _rt("orders", "o_custkey", "o_orderkey"),
@@ -1999,6 +2015,15 @@ def oracle_sql() -> dict[str, str]:
             " WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"
             " AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'"
             " AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"
+        ),
+        # conjunctive search replayed from raw text: same whitespace
+        # tokenization, membership of BOTH terms
+        "text_search_postings": (
+            "SELECT doc_id FROM documents"
+            r" WHERE list_contains(list_filter(regexp_split_to_array(text,"
+            r" '\s+'), t -> length(t) > 0), 'join')"
+            r" AND list_contains(list_filter(regexp_split_to_array(text,"
+            r" '\s+'), t -> length(t) > 0), 'filter')"
         ),
         # the z-order layout can only change which chunks ship, never
         # the answer: oracle is the plain two-predicate WHERE

@@ -603,3 +603,27 @@ def test_pack_next_fit_semantics(spark):
     assert all(t <= 1000 or n == 1 for n, t in stats.values())
     with pytest.raises(ValueError, match="positive"):
         packing.pack_next_fit(df, "src", "doc_id", "n_chars", 0)
+
+
+def test_token_postings_search(spark, docs):
+    """Posting bitmaps reproduce exact membership; conjunctive AND on the
+    serialized form equals the python set intersection; absent terms
+    short-circuit empty; vocab restricts the indexed terms."""
+    from varint_spark.pipeline import textindex
+
+    postings = textindex.build_token_postings(
+        docs, "doc_id", "text", vocab=["join", "filter", "nosuchtoken"])
+    assert {r.token for r in postings.select("token").collect()} \
+        <= {"join", "filter"}
+    texts = {r.doc_id: set(r.text.split()) for r in docs.collect()}
+    want = sorted(i for i, t in texts.items()
+                  if "join" in t and "filter" in t)
+    got = sorted(r.doc_id for r in textindex.search_all_terms(
+        spark, postings, ["join", "filter"]).collect())
+    assert got == want and got  # non-trivial intersection
+    assert textindex.search_all_terms(
+        spark, postings, ["join", "nosuchtoken"]).count() == 0
+    # single-term query = that term's exact posting list
+    one = sorted(r.doc_id for r in textindex.search_all_terms(
+        spark, postings, ["filter"]).collect())
+    assert one == sorted(i for i, t in texts.items() if "filter" in t)
