@@ -104,3 +104,18 @@ def test_stratified_sample_is_shuffle_free(spark):
     plan = _plan(sampling.stratified_sample(docs, "source", "doc_id", 0.5))
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_compact_blocks_is_one_shuffle_over_stored_blocks(spark, tmp_path_factory):
+    """Compaction over a blocks PARQUET store (the maintenance-run shape)
+    is exactly one Exchange — the part_key groupBy; rows never leave
+    their partition."""
+    from varint_spark.engine import compact_blocks
+
+    d = str(tmp_path_factory.mktemp("blocks_store"))
+    df = transcripts.generate_spark(spark, n_conversations=40, n_hot=0)
+    encode_transcripts(df, OPTS).write.mode("overwrite").parquet(d)
+    stored = spark.read.parquet(d)
+    plan = _plan(compact_blocks(stored, transcripts.TRANSCRIPT_DDL,
+                                OPTS.chunk_rows * 4, group_col="conv_id"))
+    assert plan.count("Exchange") == 1, plan
