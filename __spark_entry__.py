@@ -1021,6 +1021,21 @@ def _q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textindex.search_all_terms(spark, postings, ["join", "filter"])
 
 
+def _q_text_search_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval on the serialized postings: (join OR scan) AND
+    NOT filter — the reference's And/Or/AndNot container algebra
+    composed as a search engine does (pipeline/textindex.search_boolean).
+    Oracle recomputes membership from raw text."""
+    from varint_spark.pipeline import textindex
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    postings = textindex.build_token_postings(
+        docs, "doc_id", "text", vocab=["join", "scan", "filter"])
+    return textindex.search_boolean(spark, postings,
+                                    any_of=["join", "scan"],
+                                    none_of=["filter"])
+
+
 def _q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering gate: events laid out on the Morton curve of
     (user_id, ts) — both dimensions' zone maps prune chunks
@@ -1354,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": _q_schema_evolution,
         "zorder_prune": _q_zorder_prune,
         "text_search_postings": _q_text_search,
+        "text_search_boolean": _q_text_search_boolean,
         "dedup_incremental": _q_dedup_incremental,
         "roundtrip_events": _rt("events", "user_id", "event_id"),
         "roundtrip_orders": _rt("orders", "o_custkey", "o_orderkey"),
@@ -2024,6 +2040,13 @@ def oracle_sql() -> dict[str, str]:
             r" '\s+'), t -> length(t) > 0), 'join')"
             r" AND list_contains(list_filter(regexp_split_to_array(text,"
             r" '\s+'), t -> length(t) > 0), 'filter')"
+        ),
+        "text_search_boolean": (
+            r"WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            r"text, '\s+'), x -> length(x) > 0) AS toks FROM documents)"
+            " SELECT doc_id FROM t"
+            " WHERE (list_contains(toks, 'join') OR list_contains(toks, 'scan'))"
+            " AND NOT list_contains(toks, 'filter')"
         ),
         # the z-order layout can only change which chunks ship, never
         # the answer: oracle is the plain two-predicate WHERE

@@ -627,3 +627,32 @@ def test_token_postings_search(spark, docs):
     one = sorted(r.doc_id for r in textindex.search_all_terms(
         spark, postings, ["filter"]).collect())
     assert one == sorted(i for i, t in texts.items() if "filter" in t)
+
+
+def test_postings_boolean_search(spark, docs):
+    """(AND all_of) ∩ (OR any_of) \\ (OR none_of) on serialized postings
+    equals the python set algebra; guard rails on the degenerate shapes."""
+    from varint_spark.pipeline import textindex
+
+    vocab = ["join", "scan", "filter", "hash"]
+    postings = textindex.build_token_postings(docs, "doc_id", "text",
+                                              vocab=vocab)
+    texts = {r.doc_id: set(r.text.split()) for r in docs.collect()}
+
+    def ids(pred):
+        return sorted(i for i, t in texts.items() if pred(t))
+
+    got = sorted(r.doc_id for r in textindex.search_boolean(
+        spark, postings, any_of=["join", "scan"],
+        none_of=["filter"]).collect())
+    assert got == ids(lambda t: ("join" in t or "scan" in t)
+                      and "filter" not in t)
+    got = sorted(r.doc_id for r in textindex.search_boolean(
+        spark, postings, all_of=["join", "hash"],
+        any_of=["scan", "filter"]).collect())
+    assert got == ids(lambda t: "join" in t and "hash" in t
+                      and ("scan" in t or "filter" in t))
+    assert textindex.search_boolean(
+        spark, postings, all_of=["join", "notindexed"]).count() == 0
+    with pytest.raises(ValueError, match="positive clause"):
+        textindex.search_boolean(spark, postings, none_of=["join"])

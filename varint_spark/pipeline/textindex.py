@@ -66,3 +66,48 @@ def search_all_terms(spark: SparkSession, postings: DataFrame,
         acc = bitmap.bitmap_and(acc, b)
     ids = bitmap.decode(acc)
     return spark.createDataFrame([(int(i),) for i in ids], out_ddl)
+
+
+def search_boolean(spark: SparkSession, postings: DataFrame,
+                   all_of: list[str] | None = None,
+                   any_of: list[str] | None = None,
+                   none_of: list[str] | None = None) -> DataFrame:
+    """Full boolean retrieval on the serialized postings — the three
+    container-level operators the reference exposes (varintBitmapAnd/Or/
+    AndNot, src/varintBitmap.c:442-528) composed the way every boolean
+    search engine does: ``(AND all_of) ∩ (OR any_of) \\ (OR none_of)``.
+    At least one positive clause (all_of/any_of) is required — a bare
+    NOT has no finite universe in an inverted index."""
+    all_of, any_of, none_of = all_of or [], any_of or [], none_of or []
+    if not all_of and not any_of:
+        raise ValueError("need at least one positive clause (all_of/any_of)")
+    need = list(dict.fromkeys([*all_of, *any_of, *none_of]))
+    rows = postings.filter(F.col("token").isin(need)) \
+        .select("token", "posting").collect()
+    by_tok = {r.token: bytes(r.posting) for r in rows}
+    out_ddl = "doc_id long"
+    if any(t not in by_tok for t in all_of):
+        return spark.createDataFrame([], out_ddl)  # conjunct absent -> empty
+
+    def union(tokens):
+        blobs = [by_tok[t] for t in tokens if t in by_tok]
+        if not blobs:
+            return None
+        acc = blobs[0]
+        for b in blobs[1:]:
+            acc = bitmap.bitmap_or(acc, b)
+        return acc
+
+    acc = None
+    for t in sorted(all_of, key=lambda t: len(by_tok[t])):
+        acc = by_tok[t] if acc is None else bitmap.bitmap_and(acc, by_tok[t])
+    if any_of:
+        u = union(any_of)
+        if u is None:
+            return spark.createDataFrame([], out_ddl)
+        acc = u if acc is None else bitmap.bitmap_and(acc, u)
+    neg = union(none_of)
+    if neg is not None:
+        acc = bitmap.bitmap_andnot(acc, neg)
+    ids = bitmap.decode(acc)
+    return spark.createDataFrame([(int(i),) for i in ids], out_ddl)
