@@ -112,3 +112,65 @@ def test_external_fixed_width_any(xs, width, be):
     buf = external.encode(v, width, big_endian=be)
     np.testing.assert_array_equal(
         external.decode(buf, width, big_endian=be), v)
+
+
+def _like_ref(pattern: str, s: str, pi: int = 0, si: int = 0) -> bool:
+    """Reference SQL-LIKE matcher (recursive, escape=backslash)."""
+    if pi == len(pattern):
+        return si == len(s)
+    ch = pattern[pi]
+    if ch == "\\" and pi + 1 < len(pattern):
+        return si < len(s) and s[si] == pattern[pi + 1] \
+            and _like_ref(pattern, s, pi + 2, si + 1)
+    if ch == "%":
+        return any(_like_ref(pattern, s, pi + 1, k)
+                   for k in range(si, len(s) + 1))
+    if ch == "_":
+        return si < len(s) and _like_ref(pattern, s, pi + 1, si + 1)
+    return si < len(s) and s[si] == ch and _like_ref(pattern, s, pi + 1, si + 1)
+
+
+@given(st.text(alphabet="ab%_\\", max_size=8),
+       st.text(alphabet="ab\n", max_size=8))
+@settings(max_examples=300, deadline=None)
+def test_like_regex_matches_reference_semantics(pattern, s):
+    import re
+
+    from varint_spark.codecs.random_access import like_pattern_to_regex
+
+    got = re.fullmatch(like_pattern_to_regex(pattern), s) is not None
+    assert got == _like_ref(pattern, s), (pattern, s)
+
+
+ASCII = st.text(alphabet=st.characters(min_codepoint=1, max_codepoint=0x7F),
+                max_size=20)
+
+
+@given(ASCII, ASCII)
+@settings(max_examples=300, deadline=None)
+def test_ascii_increment_is_tight_prefix_bound(prefix, s):
+    """Every string with the prefix lies in [prefix, increment(prefix));
+    no string below the increment is missed — the zone-prune bound is
+    exactly the prefix set's supremum."""
+    from varint_spark.engine import _ascii_increment
+
+    hi = _ascii_increment(prefix)
+    if s.startswith(prefix):
+        assert s >= prefix
+        if hi is not None:
+            assert s < hi
+    # conversely anything >= hi can't carry the prefix
+    if hi is not None and s >= hi:
+        assert not s.startswith(prefix)
+
+
+@given(ASCII)
+@settings(max_examples=200, deadline=None)
+def test_zone_str_min_is_lower_bound(s):
+    from varint_spark.engine import ZONE_STR_MAX, _zone_str
+
+    mn, mx = _zone_str(s, True), _zone_str(s, False)
+    if mn is not None:
+        assert mn <= s and len(mn) <= ZONE_STR_MAX
+    if mx is not None:
+        assert mx >= s  # stored max never under-bounds

@@ -440,7 +440,7 @@ def test_like_pattern_to_regex():
     from varint_spark.codecs.random_access import like_pattern_to_regex
 
     def m(pattern, s):
-        return re.match(like_pattern_to_regex(pattern), s) is not None
+        return re.fullmatch(like_pattern_to_regex(pattern), s) is not None
 
     assert m("abc", "abc") and not m("abc", "abcd")
     assert m("a%c", "abbbc") and m("a%c", "ac") and not m("a%c", "acb")
@@ -478,7 +478,7 @@ def test_str_filter_like_never_decodes_corpus(monkeypatch):
     for p in ["%1%", "%4", "src_", "s%1", "_", "%", "nomatch%x", ""]:
         rx = re.compile(like_pattern_to_regex(p))
         got = ra.str_filter_like(blk, p)
-        assert got.tolist() == [rx.match(v) is not None for v in vals], p
+        assert got.tolist() == [rx.fullmatch(v) is not None for v in vals], p
     # corpus-structured blocks legitimately fall back (patch bites)
     uniq = [f"unique string value {i:05d}" for i in range(200)]
     ublk = selector.encode_column(pa.array(uniq, type=pa.large_utf8()), "str")

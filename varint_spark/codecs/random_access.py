@@ -525,11 +525,17 @@ def _codes_to_mask(codes_blk, codes: list[int], count: int) -> np.ndarray:
 
 
 def like_pattern_to_regex(pattern: str, escape: str = "\\") -> str:
-    """SQL LIKE pattern -> anchored RE2/`re`-compatible regex source.
-    ``%`` -> ``.*``, ``_`` -> ``.``, ``escape`` guards the next char
-    literally (SQL-92 / Spark / DuckDB default backslash); everything
-    else is escaped. Wrapped ``(?s:...)`` so wildcards cross newlines,
-    matching SQL semantics (Spark compiles LIKE with DOTALL)."""
+    """SQL LIKE pattern -> UNANCHORED regex body. ``%`` -> ``.*``,
+    ``_`` -> ``.``, ``escape`` guards the next char literally (SQL-92 /
+    Spark / DuckDB default backslash); everything else is escaped.
+    Wrapped ``(?s:...)`` so wildcards cross newlines, matching SQL
+    semantics (Spark compiles LIKE with DOTALL).
+
+    Anchoring is the CALLER's job, engine-appropriately: Python must use
+    ``fullmatch`` (``$`` in `re` also matches before a trailing newline,
+    so ``^...$`` would make ``LIKE 'abc'`` accept ``'abc\\n'`` — caught
+    by the property test); RE2/Arrow must wrap ``^...$`` (true
+    end-of-text there, and RE2 has no ``\\Z``)."""
     import re
     out, i = [], 0
     while i < len(pattern):
@@ -545,7 +551,7 @@ def like_pattern_to_regex(pattern: str, escape: str = "\\") -> str:
         else:
             out.append(re.escape(ch))
         i += 1
-    return "^(?s:" + "".join(out) + ")$"
+    return "(?s:" + "".join(out) + ")"
 
 
 def str_filter_like(block: bytes | memoryview, pattern: str,
@@ -565,10 +571,11 @@ def str_filter_like(block: bytes | memoryview, pattern: str,
     rx = re.compile(like_pattern_to_regex(pattern))
 
     def on_dict(codes_blk, uniq, count):
-        codes = [i for i, e in enumerate(uniq) if rx.match(e)]
+        codes = [i for i, e in enumerate(uniq) if rx.fullmatch(e)]
         return _codes_to_mask(codes_blk, codes, count)
 
     import pyarrow.compute as pc
     return _str_dict_dispatch(
         block, shared_col, on_dict,
-        lambda arr: pc.match_substring_regex(arr, like_pattern_to_regex(pattern)))
+        lambda arr: pc.match_substring_regex(
+            arr, "^" + like_pattern_to_regex(pattern) + "$"))
