@@ -531,6 +531,11 @@ def compact_blocks(blocks: DataFrame, schema_ddl: str, target_chunk_rows: int,
         arrs = {}
         for col in cols:
             parts = sorted(per_col[col], key=lambda t: t[0])
+            if not parts:
+                raise ValueError(
+                    f"compact_blocks: no blocks for column {col!r} in "
+                    f"partition {part_key!r} — pass the schema the store "
+                    "was written with (column projections can't compact)")
             sc = (shared_cols or {}).get(col)
             chunks = [_decoded_to_output(decode_column(b, sc), kinds[col])
                       for _, b in parts]

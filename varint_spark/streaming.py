@@ -96,10 +96,13 @@ def dedup_stream(spark: SparkSession, input_dir: str, schema_ddl: str,
             bands=bands, sigs=sigs)
         drop = intra.select(F.col("id_b").alias(id_col))
         sess = batch_df.sparkSession
+        from pyspark.errors import AnalysisException
         try:
             index = sess.read.parquet(index_dir) \
                 .filter(F.col("batch") < epoch_id).select(id_col, "simhash")
-        except Exception:  # first epoch: no index yet
+        except AnalysisException:  # first epoch: no index dir yet —
+            # anything else (corrupt files, permissions) must stay LOUD,
+            # silently treating it as "no index" would re-admit dups
             index = None
         if index is not None:
             cross = dedup.simhash_incremental_pairs(
