@@ -119,3 +119,15 @@ def test_compact_blocks_is_one_shuffle_over_stored_blocks(spark, tmp_path_factor
     plan = _plan(compact_blocks(stored, transcripts.TRANSCRIPT_DDL,
                                 OPTS.chunk_rows * 4, group_col="conv_id"))
     assert plan.count("Exchange") == 1, plan
+
+
+def test_postings_build_is_two_planned_shuffles(spark):
+    """build_token_postings: exactly the two exchanges the design names —
+    the (key, id) spread repartition and the per-key merge groupBy; the
+    token explode itself adds none."""
+    from varint_spark.pipeline import textindex
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(textindex.build_token_postings(docs, "doc_id", "text",
+                                                vocab=["join", "scan"]))
+    assert plan.count("Exchange") == 2, plan
