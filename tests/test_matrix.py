@@ -282,3 +282,15 @@ def test_sparse_mode_deterministic_and_size_exact():
     mat[rng.random((256, 32)) < 0.8] = 0.0
     assert matrix.encode(mat) == matrix.encode(mat.copy(order="C"))
     assert matrix.encoded_size(mat) == len(matrix.encode(mat))
+
+
+def test_all_zero_matrix_point_access():
+    """An all-(+0.0) chunk legally encodes as sparse mode with nnz=0 (the
+    cost gate picks it); get_row must return zeros, not IndexError on the
+    empty position index."""
+    zeros = np.zeros((40, 12), dtype=np.float32)
+    blk = matrix.encode_block(matrix.matrix_to_list(zeros))
+    assert _mode_of(blocks.unpack_block(blk)[2], 12) == 5
+    for i in (0, 17, 39):
+        row = matrix.get_row(blk, i)
+        assert row.shape == (12,) and (row.view(np.int32) == 0).all()

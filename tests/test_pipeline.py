@@ -656,3 +656,101 @@ def test_postings_boolean_search(spark, docs):
         spark, postings, all_of=["join", "notindexed"]).count() == 0
     with pytest.raises(ValueError, match="positive clause"):
         textindex.search_boolean(spark, postings, none_of=["join"])
+
+
+def test_search_results_born_distributed(spark, docs, monkeypatch):
+    """The folded query bitmap must never be decoded into a driver-side
+    Python id list: driver-side code only shards the serialized form
+    (shard_serialized); containers decode executor-side in mapInArrow
+    (whose workers re-import the module, so this driver-process
+    monkeypatch cannot leak into them). Results stay correct."""
+    from varint_spark.codecs import bitmap
+    from varint_spark.pipeline import textindex
+
+    postings = textindex.build_token_postings(
+        docs, "doc_id", "text", vocab=["join", "filter", "scan"])
+    postings.cache().count()
+    texts = {r.doc_id: set(r.text.split()) for r in docs.collect()}
+
+    def boom(*a, **k):
+        raise AssertionError("bitmap.decode called on the driver")
+
+    monkeypatch.setattr(bitmap, "decode", boom)
+    got = sorted(r.doc_id for r in textindex.search_all_terms(
+        spark, postings, ["join", "filter"]).collect())
+    assert got == sorted(i for i, t in texts.items()
+                         if "join" in t and "filter" in t) and got
+    got = sorted(r.doc_id for r in textindex.search_boolean(
+        spark, postings, any_of=["join", "scan"],
+        none_of=["filter"]).collect())
+    assert got == sorted(i for i, t in texts.items()
+                         if ("join" in t or "scan" in t)
+                         and "filter" not in t)
+    with pytest.raises(ValueError, match="empty query"):
+        textindex.search_all_terms(spark, postings, [])
+
+
+def test_pack_kernel_per_bin_equals_row_scan():
+    """The per-bin searchsorted kernel is assignment-identical to the
+    row-at-a-time reference scan on adversarial shapes: exact-budget
+    ties, zero-length docs after a full bin, oversized docs, randoms."""
+    from varint_spark.pipeline.packing import pack_next_fit_kernel
+
+    def row_scan(lens, budget):
+        bins = np.zeros(len(lens), dtype=np.int64)
+        if len(lens):
+            fill, b = int(lens[0]), 0
+            for i in range(1, len(lens)):
+                if fill + int(lens[i]) > budget:
+                    b += 1
+                    fill = int(lens[i])
+                else:
+                    fill += int(lens[i])
+                bins[i] = b
+        return bins
+
+    cases = [
+        ([], 10), ([5], 10), ([15], 10),
+        ([4, 6, 0, 0, 1], 10),          # exact fill then zero-length docs
+        ([10, 10, 10], 10),             # every doc exactly budget
+        ([11, 12, 13], 10),             # every doc oversized
+        ([3, 3, 3, 3, 3], 9),
+    ]
+    rng = np.random.default_rng(19)
+    for _ in range(20):
+        n = int(rng.integers(1, 200))
+        cases.append((rng.integers(0, 30, n).tolist(),
+                      int(rng.integers(1, 60))))
+    for lens, budget in cases:
+        a = pack_next_fit_kernel(np.asarray(lens, dtype=np.int64), budget)
+        b = row_scan(np.asarray(lens, dtype=np.int64), budget)
+        np.testing.assert_array_equal(a, b, err_msg=f"{lens} @ {budget}")
+
+
+def test_pack_schema_follows_input_types(spark):
+    """Non-long order column / non-string bucket column: output types are
+    derived from the input schema, not hardcoded."""
+    from varint_spark.pipeline import packing
+
+    rows = [(i, 7 * (i % 2), 400) for i in range(6)]
+    df = spark.createDataFrame(rows, "ord int, bucket int, n long")
+    out = packing.pack_next_fit(df, "bucket", "ord", "n", 1000)
+    types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert types == {"ord": "int", "bucket": "int", "bin": "bigint"}
+    got = {(r.bucket, r.ord): r.bin for r in out.collect()}
+    assert got[(0, 0)] == 0 and got[(0, 2)] == 0 and got[(0, 4)] == 1
+    assert got[(7, 1)] == 0 and got[(7, 3)] == 0 and got[(7, 5)] == 1
+
+
+def test_portable_sampling_negative_ids_bucket_uniformly(spark):
+    """A negative id must not bypass the keep-fraction filter (plain %
+    gave it a negative bucket that passed every threshold); both hash
+    modes now keep a negative-id population at roughly the fraction."""
+    from varint_spark.pipeline import sampling
+
+    ids = spark.range(-4000, 0).withColumnRenamed("id", "doc_id") \
+        .withColumn("src", F.lit("a"))
+    for mode in ("portable", "xxhash64"):
+        n = sampling.stratified_sample(
+            ids, "src", "doc_id", 0.25, hash_mode=mode).count()
+        assert 700 < n < 1300, (mode, n)

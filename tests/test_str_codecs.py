@@ -173,3 +173,29 @@ def test_entropy_gate_skips_fsst_on_random_corpus(monkeypatch):
             for i in range(500)]
     selector.encode_str_block(pa.array(text, type=pa.large_utf8()))
     assert calls, "FSST skipped on compressible text"
+
+
+def test_dict_v0_blocks_rejected_loudly():
+    """Pre-sorted-dict (v0) DICT_STR payloads — which started directly
+    with the codes sub-block length instead of the sorted-dict marker —
+    must raise, not silently mis-answer the bisect-based predicates.
+    A v0 payload's first byte is a LEB128 sub-length that can never be
+    0x01 (a sub-block is ≥ 2 bytes), so the marker check is airtight."""
+    from varint_spark.codecs import blocks as blk
+    from varint_spark.codecs import random_access as ra
+
+    arr = pa.array(["b", "a", "b", "c", "a"], type=pa.large_utf8())
+    v1 = strings.encode_dict(arr)
+    assert v1[0] == strings.DICT_SORTED_V1
+    v0 = v1[1:]  # exactly the pre-versioning layout
+    with pytest.raises(ValueError, match="sorted-dict"):
+        strings.decode_dict(v0, len(arr))
+    v0_block = blk.pack_block(blk.DICT_STR, len(arr), v0)
+    with pytest.raises(ValueError, match="sorted-dict"):
+        ra.str_filter_eq(v0_block, "a")
+    # the v1 block still round-trips and answers predicates
+    assert strings.decode_dict(v1, len(arr)).to_pylist() == \
+        ["b", "a", "b", "c", "a"]
+    v1_block = blk.pack_block(blk.DICT_STR, len(arr), v1)
+    assert list(ra.str_filter_eq(v1_block, "a")) == \
+        [False, True, False, False, True]

@@ -344,6 +344,26 @@ def iter_blocks(buf: bytes | memoryview):
         pos += plen
 
 
+def shard_serialized(buf: bytes | memoryview):
+    """Split the serialized form at container boundaries WITHOUT decoding
+    any payload: yields (block_key, standalone container bytes) where the
+    container bytes are ``[ctype:1][n: leb128][payload]`` verbatim. This
+    is how a bounded serialized bitmap is handed to executors — each shard
+    covers one 64Ki id block and decodes independently (decode_shard), so
+    the ids are born distributed instead of materializing on the driver."""
+    keys, entries = _block_index(buf)
+    for k, (ctype, n, payload) in zip(keys, entries):
+        yield int(k), bytes([ctype]) + blocks.put_uvarint(n) + bytes(payload)
+
+
+def decode_shard(container: bytes | memoryview) -> np.ndarray:
+    """One shard_serialized container -> sorted low-16 uint16 members."""
+    mv = memoryview(container)
+    ctype = mv[0]
+    n, pos = blocks.take_uvarint(mv, 1)
+    return _container_lows(ctype, n, mv[pos:])
+
+
 def iterator(buf: bytes | memoryview):
     """Yield ids ascending, one at a time — API parity with
     varintBitmapIteratorNext (src/varintBitmap.c:657). Bulk consumers

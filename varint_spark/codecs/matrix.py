@@ -227,9 +227,11 @@ def get_row(block: bytes | memoryview, i: int) -> np.ndarray:
         # the position index (nnz small ints, the compressed part) is
         # decoded; the VALUES plane is only touched at the row's hits
         nz_pos, vals = _sparse_parts(mv, pos)
+        if len(nz_pos) == 0:  # legal: an all-(+0.0) chunk encodes as nnz=0
+            return np.zeros(dim, dtype=np.float32)
         wanted = i + n_rows * np.arange(dim, dtype=np.int64)
         j = np.searchsorted(nz_pos, wanted)
-        j_safe = np.minimum(j, len(nz_pos) - 1) if len(nz_pos) else j
+        j_safe = np.minimum(j, len(nz_pos) - 1)
         hit = (j < len(nz_pos)) & (nz_pos[j_safe] == wanted)
         out = np.zeros(dim, dtype=np.float32)
         out[hit] = vals[j[hit]]

@@ -396,6 +396,7 @@ def _dict_codes_and_entries(cid, payload, shared_col):
     from . import strings
     mv = memoryview(payload)
     if cid == blocks.DICT_STR:
+        mv = strings.check_dict_version(mv)
         codes_blk, pos = blocks.take_sub(mv, 0)
         dict_blk, _ = blocks.take_sub(mv, pos)
         _, n_uniq, dpayload = blocks.unpack_block(dict_blk)

@@ -73,6 +73,25 @@ def decode_plain(buf: memoryview | bytes, count: int) -> pa.Array:
 
 # ---- DICT_STR -------------------------------------------------------------------
 
+# Sorted-dict format-version marker. The v0 (unsorted, first-occurrence
+# order) layout started directly with put_sub(codes_block) — a LEB128
+# length whose first byte can never be 0x01 (a sub-block is ≥ 2 bytes, and
+# any multi-byte LEB128 length has its high bit set) — so v0 blocks are
+# rejected LOUDLY instead of silently mis-answering the bisect-based
+# predicates that assume code order == string order.
+DICT_SORTED_V1 = 0x01
+
+
+def check_dict_version(mv: memoryview) -> memoryview:
+    """Verify the sorted-dict marker; return the payload past it."""
+    if len(mv) == 0 or mv[0] != DICT_SORTED_V1:
+        raise ValueError(
+            "DICT_STR block lacks the sorted-dict v1 marker — encoded by a "
+            "pre-sorted-dict engine; re-encode (bisect predicates would "
+            "silently return wrong rows on first-occurrence code order)")
+    return mv[1:]
+
+
 def encode_dict(values, encode_int_block=None) -> bytes:
     """Dictionary-encode; ``encode_int_block(int64 array) -> block bytes``
     defaults to the adaptive selector (lazy import avoids a cycle).
@@ -97,7 +116,7 @@ def encode_dict(values, encode_int_block=None) -> bytes:
     rank[order] = np.arange(len(order), dtype=np.int64)
     codes = rank[codes]
     uniq = uniq.take(pa.array(order))
-    return blocks.put_sub(encode_int_block(codes)) + blocks.put_sub(
+    return bytes([DICT_SORTED_V1]) + blocks.put_sub(encode_int_block(codes)) + blocks.put_sub(
         blocks.pack_block(blocks.PLAIN_STR, len(uniq), encode_plain(uniq))
     )
 
@@ -107,7 +126,7 @@ def decode_dict(buf: memoryview | bytes, count: int, decode_int_block=None) -> p
         from ..selector import decode_int_block  # noqa: PLC0415
     if count == 0:
         return pa.array([], type=pa.large_utf8())
-    mv = memoryview(buf)
+    mv = check_dict_version(memoryview(buf))
     codes_blk, pos = blocks.take_sub(mv, 0)
     dict_blk, _ = blocks.take_sub(mv, pos)
     codes = decode_int_block(codes_blk)

@@ -27,7 +27,14 @@ def _bucket(id_col: str, seed: int, hash_mode: str) -> Column:
     if hash_mode == "xxhash64":
         return F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(_DENOM))
     if hash_mode == "portable":
-        return ((F.col(id_col) % _PRIME) * 4099 + seed) % _DENOM
+        # pmod, not % (sign-of-dividend): a negative id under plain % gave
+        # a negative bucket that passed every `b < threshold` filter — the
+        # row was ALWAYS kept regardless of fraction. pmod keeps the inner
+        # residue in [0, PRIME) so the affine fold stays nonnegative and
+        # the outer mod lands in [0, DENOM) like the xxhash64 mode. For
+        # nonnegative ids this is bit-identical to the old expression, so
+        # `%`-based SQL oracles on nonnegative-id tables still match.
+        return F.pmod(F.pmod(F.col(id_col), _PRIME) * 4099 + seed, _DENOM)
     raise ValueError(f"unknown hash_mode: {hash_mode!r}")
 
 

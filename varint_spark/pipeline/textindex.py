@@ -11,7 +11,11 @@ filter runs BEFORE the shuffle); the distributed partial-bitmap merge is
 the BUILD). A conjunctive QUERY touches exactly ``len(tokens)`` posting
 rows — query-literal-sized — and ANDs their serialized containers; one
 posting bitmap is bounded by n_docs/8 bytes (125 MB at 10⁹ docs), the
-same head-node budget every posting-list searcher carries.
+same head-node budget every posting-list searcher carries. The RESULT is
+never materialized on the driver either: the folded bitmap is sharded at
+64Ki-block container boundaries and decoded executor-side
+(_ids_dataframe), so a low-selectivity query over 10⁹ docs hands the
+driver only serialized containers, never Python id tuples.
 """
 
 from __future__ import annotations
@@ -44,28 +48,58 @@ def build_token_postings(df: DataFrame, id_col: str, text_col: str,
         .withColumnRenamed("bitmap", "posting")
 
 
+def _ids_dataframe(spark: SparkSession, acc: bytes) -> DataFrame:
+    """Final serialized bitmap -> one-column ``doc_id`` DataFrame with the
+    ids BORN DISTRIBUTED: the driver only range-shards the serialized form
+    at 64Ki-block container boundaries (bitmap.shard_serialized — payloads
+    never decoded driver-side, total bytes bounded by ~n_docs/8), and each
+    container decodes executor-side inside mapInArrow. No Python id list
+    proportional to the RESULT cardinality ever exists on the driver."""
+    shards = list(bitmap.shard_serialized(acc))
+    if not shards:
+        return spark.createDataFrame([], "doc_id long")
+    df = spark.createDataFrame(shards, "block_key long, container binary")
+    par = spark.sparkContext.defaultParallelism
+    if len(shards) > 1:
+        df = df.repartition(min(len(shards), par))
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        from varint_spark.codecs import bitmap as bm
+        for batch in batches:
+            keys = batch.column("block_key").to_numpy()
+            for key, cont in zip(keys, batch.column("container")):
+                lows = bm.decode_shard(cont.as_py())
+                ids = (np.int64(key) << np.int64(16)) | lows.astype(np.int64)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(ids, type=pa.int64())], ["doc_id"])
+
+    return df.mapInArrow(gen, "doc_id long")
+
+
 def search_all_terms(spark: SparkSession, postings: DataFrame,
                      tokens: list[str]) -> DataFrame:
     """Documents containing ALL ``tokens``: AND-fold of the serialized
     posting bitmaps (container-level — one-sided containers skip without
-    decoding), then one decode of the final intersection. A term absent
-    from the index short-circuits to the empty result, like any
-    conjunctive query planner."""
+    decoding), then the final intersection is decoded EXECUTOR-side
+    (_ids_dataframe). A term absent from the index short-circuits to the
+    empty result, like any conjunctive query planner."""
     want = list(dict.fromkeys(tokens))
+    if not want:
+        raise ValueError("empty query: need at least one token")
     rows = postings.filter(F.col("token").isin(want)) \
         .select("token", "posting").collect()
     by_tok = {r.token: bytes(r.posting) for r in rows}
-    out_ddl = "doc_id long"
     if len(by_tok) < len(want):
-        return spark.createDataFrame([], out_ddl)
+        return spark.createDataFrame([], "doc_id long")
     # fold smallest-first: the intersection can only shrink, so every
     # later AND runs against the smallest serialized operand
     ordered = sorted((by_tok[t] for t in want), key=len)
     acc = ordered[0]
     for b in ordered[1:]:
         acc = bitmap.bitmap_and(acc, b)
-    ids = bitmap.decode(acc)
-    return spark.createDataFrame([(int(i),) for i in ids], out_ddl)
+    return _ids_dataframe(spark, acc)
 
 
 def search_boolean(spark: SparkSession, postings: DataFrame,
@@ -109,5 +143,4 @@ def search_boolean(spark: SparkSession, postings: DataFrame,
     neg = union(none_of)
     if neg is not None:
         acc = bitmap.bitmap_andnot(acc, neg)
-    ids = bitmap.decode(acc)
-    return spark.createDataFrame([(int(i),) for i in ids], out_ddl)
+    return _ids_dataframe(spark, acc)
