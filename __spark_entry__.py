@@ -1346,14 +1346,35 @@ def _q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict order IS the driver's execution order. The r4 artifact covered
-    # exactly 50 of 52 registry entries (the tail was cut), so the two
-    # queries it missed and everything NEW this round run FIRST — a
-    # count- or time-budget cut can then only shave queries that already
-    # carry green rows in earlier rounds' artifacts. The whole 56-query
-    # surface runs in ~35 s at sf0.01 (no single query over ~2 s;
-    # profiled via scripts/check_oracle.py).
+    # Dict order IS the driver's execution order (the driver gates the
+    # FIRST 50 entries). Rotation policy: the 18 entries the r5 artifact
+    # did not reach (positions 51-68 then; source_roundtrip_csv had never
+    # had a driver row) run FIRST this round, followed by queries NEW in
+    # r6 — so the r05 ∪ r06 artifacts cover the entire registry and a
+    # count- or time-budget cut can only shave queries that already carry
+    # green rows in an earlier round's artifact.
     return {
+        # --- the 18 rotated in from the r5-unchecked tail -------------
+        "source_roundtrip_csv": _q_csv_roundtrip,
+        "text_quality_score": _q_quality,
+        "text_lang_id": _q_lang_id,
+        "similarity_topk": _q_similarity,
+        "similarity_topk_lsh": _q_similarity_lsh,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "quantize_embeddings": _q_quantize_embeddings,
+        "similarity_topk_ivf": _q_similarity_ivf,
+        "fingerprint_documents": _q_fingerprints,
+        "multimodal_features": _q_multimodal,
+        "multimodal_real_decode": _q_multimodal_real,
+        "multimodal_image_decode": _q_multimodal_image,
+        "multimodal_resize_chain": _q_multimodal_resize,
+        "q1_pricing_summary": _q_pricing_summary,
+        "q6_shipping_revenue": _q_shipping_revenue,
+        "q3_segment_top_orders": _q_segment_top_orders,
+        "set_ops_bitmap_analog": _q_set_ops,
+        "bitmap_codec_algebra": _q_bitmap_codec,
+        # --- new in r6 (insert here, inside the 50-row window) --------
+        # --- r5-green re-pins filling out the window ------------------
         "tagged_sortable_keys": _q_tagged_sortable,
         "topk_per_group": _q_topk_per_group,
         "codec_matrix_sparse": _q_matrix_sparse,
@@ -1386,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_access_prune": _q_random_access_prune,
         "predicate_pushdown_encoded": _q_predicate_pushdown,
         "predicate_pushdown_range": _q_predicate_pushdown_range,
+        # --- tail: green in the r5 artifact ---------------------------
         "asof_purchase_click": _q_asof_purchase_click,
         "range_join_clicks": _q_range_join_clicks,
         "rollup_events_daily": _q_rollup_hourly,
@@ -1404,24 +1426,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_tokens": _q_vocab_top,
         "pipeline_dedup_quality_lang": _q_pipeline_compose,
         "source_roundtrip_jsonl": _q_jsonl_roundtrip,
-        "source_roundtrip_csv": _q_csv_roundtrip,
-        "text_quality_score": _q_quality,
-        "text_lang_id": _q_lang_id,
-        "similarity_topk": _q_similarity,
-        "similarity_topk_lsh": _q_similarity_lsh,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "quantize_embeddings": _q_quantize_embeddings,
-        "similarity_topk_ivf": _q_similarity_ivf,
-        "fingerprint_documents": _q_fingerprints,
-        "multimodal_features": _q_multimodal,
-        "multimodal_real_decode": _q_multimodal_real,
-        "multimodal_image_decode": _q_multimodal_image,
-        "multimodal_resize_chain": _q_multimodal_resize,
-        "q1_pricing_summary": _q_pricing_summary,
-        "q6_shipping_revenue": _q_shipping_revenue,
-        "q3_segment_top_orders": _q_segment_top_orders,
-        "set_ops_bitmap_analog": _q_set_ops,
-        "bitmap_codec_algebra": _q_bitmap_codec,
     }
 
 
