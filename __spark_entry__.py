@@ -231,6 +231,36 @@ def _q_elias_delta_octaves(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.crossJoin(codec)
 
 
+def _q_dod_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-of-delta through the gate (reference
+    examples/integration/delta_compression.c and
+    examples/reference/timeseries_db.c:240-320; 7.6-7.9x timestamp claim
+    README.md:188): a regular 1-second cadence stored as µs with ±0.5 s
+    ms-granular jitter — the second derivative is ms-scale while the
+    first is 10^6 µs, and every stream value is a multiple of 1000, so
+    DoD's GCD scaling + nested bitpack beat delta ~1.5x and BP128's
+    per-block max width. The oracle pins the decoded values (identity)
+    AND the selected codec name — deltas stay >= 0 (jitter difference is
+    bounded by the cadence) so the sorted-branch nomination fires and the
+    exact byte comparison picks 'dod'; a selector regression or a DoD
+    decode bug each hash-fail."""
+    from varint_spark.engine import EncodeOptions, decode_blocks
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.lit("all").alias("g"),
+        (F.lit(1_700_000_000_000_000)
+         + F.col("event_id") * 1_000_000
+         + (F.pmod(F.col("event_id") * 2654435761, F.lit(1001)) - 500) * 1000)
+        .cast("long").alias("v"))
+    opts = EncodeOptions(num_buckets=4, chunk_rows=16_384, salt_span=65_536,
+                         group_col="g", order_col="event_id")
+    kinds = {"event_id": "int64", "v": "int64"}
+    blocks = encode_transcripts(ev, opts, kinds=kinds).cache()
+    codec = blocks.filter(F.col("column") == "v").select("codec").distinct()
+    rows = decode_blocks(blocks, "event_id long, v long", kinds=kinds)
+    return rows.crossJoin(codec)
+
+
 def _q_random_access_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point lookups into encoded blocks WITHOUT full decode (reference
     varintFORGetAt/varintPFORGetAt/varintRLEGetAt — SURVEY §2.A.5): encode
@@ -1374,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_bitmap_analog": _q_set_ops,
         "bitmap_codec_algebra": _q_bitmap_codec,
         # --- new in r6 (insert here, inside the 50-row window) --------
+        "codec_dod_timestamps": _q_dod_timestamps,
         # --- r5-green re-pins filling out the window ------------------
         "tagged_sortable_keys": _q_tagged_sortable,
         "topk_per_group": _q_topk_per_group,
@@ -1635,6 +1666,16 @@ def oracle_sql() -> dict[str, str]:
             " CAST((CAST(1 AS BIGINT) << e)"
             "  + (event_id * 2654435761) % (CAST(1 AS BIGINT) << e) AS BIGINT) AS v,"
             " 'elias_delta' AS codec FROM s"
+        ),
+        # identity on the values AND the gate's codec choice: second
+        # derivative is ms-scale on a 1-second cadence, so delta-of-delta
+        # (GCD-scaled nested bitpack) beats delta/BP128 (derivation in
+        # the query docstring). Positive operands: DuckDB % == Spark pmod.
+        "codec_dod_timestamps": (
+            "SELECT event_id,"
+            " CAST(1700000000000000 + event_id * 1000000"
+            "  + ((event_id * 2654435761) % 1001 - 500) * 1000 AS BIGINT)"
+            " AS v, 'dod' AS codec FROM events"
         ),
         # memcmp order over tagged-encoded (user_id, event_id) must equal
         # logical pair order — checked exhaustively, summarized in one row

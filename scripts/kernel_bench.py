@@ -53,6 +53,14 @@ def main() -> None:
         encode = staticmethod(elias.encode_delta_code)
         decode = staticmethod(elias.decode_delta_code)
 
+    from varint_spark.codecs import dod
+
+    # regular cadence + ms jitter — delta-of-delta's winning regime
+    # (reference examples/reference/timeseries_db.c:240-320)
+    cadence = (np.int64(1.7e15) + np.arange(N, dtype=np.int64) * 1_000_000
+               + rng.integers(-500, 501, N) * 1000)
+    cadence = np.maximum.accumulate(cadence)  # keep sorted under jitter
+
     for name, codec, data in [
         ("delta_sorted_ts", delta, ts),
         ("for_tight_cluster", foref, cluster),
@@ -60,6 +68,7 @@ def main() -> None:
         ("pfor_tight_cluster", pfor, cluster),
         ("elias_gamma_geometric", elias, geo),
         ("elias_delta_octaves", _elias_delta, octaves),
+        ("dod_cadence_jitter_ts", dod, cadence),
     ]:
         t_enc, buf = _best_of(lambda c=codec, d=data: c.encode(d))
         t_dec, out = _best_of(lambda c=codec, b=buf: c.decode(b, N))

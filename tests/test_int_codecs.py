@@ -299,14 +299,18 @@ def test_bp128_roundtrip_and_block_boundaries():
 
 def test_bp128_beats_delta_on_bitpackable_deltas():
     """Deltas needing ~10 bits: LEB128 pays 2 bytes each, BP128 packs
-    10 bits — the codec's reason to exist; the cost gate must pick it."""
+    10 bits — the codec's reason to exist. The cost gate may pick either
+    bp128 or the (slightly smaller, nested-coded) delta-of-delta here —
+    what it must NOT do is pay LEB128's byte-granular price."""
     from varint_spark.codecs import bp128, delta
-    from varint_spark.selector import codec_name_of, encode_int_block
+    from varint_spark.selector import codec_name_of, decode_int_block, encode_int_block
     rng = np.random.default_rng(32)
     v = np.cumsum(rng.integers(200, 1000, 50_000, dtype=np.int64))
     assert bp128.encoded_size(v) < 0.8 * delta.encoded_size(v)
     blk = encode_int_block(v)
-    assert codec_name_of(blk) == "bp128_delta"
+    assert codec_name_of(blk) in ("bp128_delta", "dod")
+    assert len(blk) <= bp128.encoded_size(v) + 16
+    np.testing.assert_array_equal(decode_int_block(blk), v)
 
 
 def test_bp128_get_range_touches_only_covering_blocks():
@@ -370,3 +374,76 @@ def test_external_fixed_width_roundtrip_and_be_sortability():
     import pytest
     with pytest.raises(ValueError):
         external.encode(np.array([256], dtype=np.uint64), 1)
+
+
+# ---- delta-of-delta (reference examples/integration/delta_compression.c,
+#      examples/reference/timeseries_db.c:240-320) ----------------------------
+
+def test_dod_roundtrip_fixtures_and_edges():
+    from varint_spark.codecs import dod
+    for fixture in INT_FIXTURES:
+        v = INT_FIXTURES[fixture]()
+        np.testing.assert_array_equal(dod.decode(dod.encode(v), len(v)), v)
+    for v in empty_and_single():
+        np.testing.assert_array_equal(dod.decode(dod.encode(v), len(v)), v)
+    # wrap-around extremes through both cumsums
+    ext = np.array([-(2**63), 2**63 - 1, 0, -1, 2**63 - 1], dtype=np.int64)
+    np.testing.assert_array_equal(dod.decode(dod.encode(ext), 5), ext)
+    # exact-size contract + determinism
+    rng = np.random.default_rng(23)
+    v = np.int64(1.7e15) + np.cumsum(rng.integers(0, 3, 5000)) * 1_000_000
+    buf = dod.encode(v)
+    assert dod.encoded_size(v) == len(buf)
+    assert dod.encode(np.ascontiguousarray(v)) == buf
+
+
+def test_dod_ratio_regular_cadence():
+    """The reference's timestamp claim (README.md:188, 7.6-7.9x): on a
+    regular-cadence µs stream delta-of-delta + nested RLE collapses to a
+    handful of bytes, >= 1.5x better than plain delta even WITH jitter."""
+    from varint_spark.codecs import dod, delta
+    rng = np.random.default_rng(29)
+    base = np.int64(1_700_000_000_000_000)
+    regular = base + np.arange(10_000, dtype=np.int64) * 1_000_000
+    b = dod.encode(regular)
+    np.testing.assert_array_equal(dod.decode(b, len(regular)), regular)
+    assert len(b) * 8 < delta.encoded_size(regular)      # >= 8x vs delta
+    assert regular.nbytes / len(b) > 100                  # and vs plain
+    jitter = regular + rng.integers(-500, 501, 10_000) * 1000
+    bj = dod.encode(jitter)
+    np.testing.assert_array_equal(dod.decode(bj, len(jitter)), jitter)
+    assert len(bj) * 1.5 < delta.encoded_size(jitter)
+
+
+def test_dod_selector_gate():
+    """The cost gate picks DoD exactly where it wins: a sorted regular-
+    cadence chunk selects codec 'dod'; the irregular heavy-delta stream
+    (1-60 s random steps) must NOT pick it (delta/bp128 territory); an
+    unsorted chunk never even builds it."""
+    from varint_spark import selector
+    from varint_spark.codecs import blocks
+    rng = np.random.default_rng(31)
+    base = np.int64(1_700_000_000_000_000)
+    regular = base + np.arange(8192, dtype=np.int64) * 1_000_000
+    blk = selector.encode_int_block(regular)
+    assert blocks.unpack_block(blk)[0] == blocks.DOD
+    np.testing.assert_array_equal(selector.decode_int_block(blk), regular)
+    irregular = base + np.cumsum(rng.integers(1_000_000, 60_000_000, 8192))
+    blk2 = selector.encode_int_block(irregular)
+    assert blocks.unpack_block(blk2)[0] != blocks.DOD
+    np.testing.assert_array_equal(selector.decode_int_block(blk2), irregular)
+    # nested recursion guard: the nested encoder refuses DoD
+    nested = selector._encode_int_block_nested(regular)
+    assert blocks.unpack_block(nested)[0] != blocks.DOD
+
+
+def test_dod_random_access_fallback():
+    from varint_spark import selector
+    from varint_spark.codecs import blocks, random_access as ra
+    v = np.int64(1_000_000_000) + np.arange(4096, dtype=np.int64) * 250_000
+    blk = selector.encode_int_block(v)
+    assert blocks.unpack_block(blk)[0] == blocks.DOD
+    assert ra.get_at(blk, 0) == int(v[0])
+    assert ra.get_at(blk, 4095) == int(v[4095])
+    np.testing.assert_array_equal(ra.get_range(blk, 100, 7), v[100:107])
+    np.testing.assert_array_equal(ra.filter_ge(blk, int(v[2000])), v >= v[2000])

@@ -38,6 +38,10 @@ ELIAS_GAMMA = 12  # gamma bitstream over zigzag+1 (ref src/varintElias.c:88-226)
 DELTA_GAMMA = 13  # first + gamma-coded zigzag deltas (gamma where it pays: tiny heavy-tailed deltas)
 ELIAS_DELTA = 14  # Elias delta code proper: gamma-coded bit length + mantissa tail
 #                   (ref src/varintElias.c:171-226; wins when magnitudes span many octaves)
+DOD = 15        # delta-of-delta: [v0, d1, second diffs] / GCD, nested adaptive
+#                 stream (ref examples/integration/delta_compression.c,
+#                 examples/reference/timeseries_db.c:240-320 — Gorilla-style
+#                 timestamp codec; wins on regular-cadence streams)
 # string codecs
 PLAIN_STR = 16  # lengths int-block + concatenated utf-8 bytes
 DICT_STR = 17   # codes int-block + dictionary PLAIN_STR block
@@ -63,6 +67,7 @@ CODEC_NAMES = {
     ELIAS_GAMMA: "elias_gamma",
     DELTA_GAMMA: "delta_gamma",
     ELIAS_DELTA: "elias_delta",
+    DOD: "dod",
     PLAIN_STR: "plain_str",
     DICT_STR: "dict_str",
     FSST_STR: "fsst_str",
@@ -73,7 +78,8 @@ CODEC_NAMES = {
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
 INT_CODECS = (PLAIN_INT, LEB128_ZZ, DELTA, FOR, PFOR, RLE_INT, DICT_INT, F64_XOR,
-              SEG_DELTA, F64_LOSSY, BP128_DELTA, ELIAS_GAMMA, DELTA_GAMMA, ELIAS_DELTA)
+              SEG_DELTA, F64_LOSSY, BP128_DELTA, ELIAS_GAMMA, DELTA_GAMMA, ELIAS_DELTA,
+              DOD)
 STR_CODECS = (PLAIN_STR, DICT_STR, FSST_STR, DICT_STR_SHARED, FSST_STR_SHARED)
 
 

@@ -21,9 +21,9 @@ from __future__ import annotations
 import numpy as np
 
 from . import bitpack, blocks, delta, leb128, zigzag
-from .blocks import (BP128_DELTA, DELTA, DELTA_GAMMA, DICT_INT, ELIAS_DELTA,
-                     ELIAS_GAMMA, FOR, LEB128_ZZ, PFOR, PLAIN_INT, RLE_INT,
-                     SEG_DELTA)
+from .blocks import (BP128_DELTA, DELTA, DELTA_GAMMA, DICT_INT, DOD,
+                     ELIAS_DELTA, ELIAS_GAMMA, FOR, LEB128_ZZ, PFOR,
+                     PLAIN_INT, RLE_INT, SEG_DELTA)
 
 
 def _unpack_range(buf: np.ndarray, width: int, start: int, n: int) -> np.ndarray:
@@ -180,7 +180,7 @@ def get_at(block: bytes | memoryview, idx: int) -> int:
         # O(1) per 128-value block (ref src/varintBP128.h:24)
         from . import bp128
         return int(bp128.get_range(payload, count, idx, 1)[0])
-    if cid in (DELTA, SEG_DELTA, LEB128_ZZ, ELIAS_GAMMA, DELTA_GAMMA,
+    if cid in (DELTA, SEG_DELTA, DOD, LEB128_ZZ, ELIAS_GAMMA, DELTA_GAMMA,
                ELIAS_DELTA):
         # whole-chunk prefix-sum / bitstream codecs are inherently
         # sequential: full decode

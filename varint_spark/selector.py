@@ -23,9 +23,9 @@ from dataclasses import dataclass
 import numpy as np
 import pyarrow as pa
 
-from .codecs import blocks, bitpack, bp128, delta, dict_codec, elias, f64lossy, f64xor, foref, leb128, matrix, pfor, plain, rle, segdelta, strings, varint
+from .codecs import blocks, bitpack, bp128, delta, dict_codec, dod, elias, f64lossy, f64xor, foref, leb128, matrix, pfor, plain, rle, segdelta, strings, varint
 from .codecs.blocks import (
-    BP128_DELTA, DELTA, DELTA_GAMMA, DICT_INT, DICT_STR, DICT_STR_SHARED, ELIAS_DELTA, ELIAS_GAMMA,
+    BP128_DELTA, DELTA, DELTA_GAMMA, DICT_INT, DICT_STR, DICT_STR_SHARED, DOD, ELIAS_DELTA, ELIAS_GAMMA,
     F64_LOSSY, F64_XOR, FOR, FSST_STR,
     FSST_STR_SHARED, LEB128_ZZ, NULLABLE, PFOR, PLAIN_INT, PLAIN_STR, RLE_INT,
     SEG_DELTA, CODEC_NAMES,
@@ -95,6 +95,7 @@ _INT_DECODERS = {
     DICT_INT: dict_codec.decode,
     F64_XOR: f64xor.decode,
     SEG_DELTA: segdelta.decode,
+    DOD: dod.decode,
     F64_LOSSY: f64lossy.decode,
     BP128_DELTA: bp128.decode,
     ELIAS_GAMMA: elias.decode,
@@ -158,7 +159,8 @@ _INT_SIZERS = {
 
 def encode_int_block(values: np.ndarray, stats: IntStats | None = None,
                      is_f64_bits: bool = False,
-                     segments: np.ndarray | None = None) -> bytes:
+                     segments: np.ndarray | None = None,
+                     allow_dod: bool = True) -> bytes:
     """int64 array -> self-describing block, cost-gated.
 
     The cost gate uses **exact analytic sizes** (each codec's
@@ -181,21 +183,34 @@ def encode_int_block(values: np.ndarray, stats: IntStats | None = None,
         size = _INT_SIZERS[cid](v)
         if size < best_size:
             best_id, best_size = cid, size
+    # built candidates: their nested stream re-enters the selector, so the
+    # choice isn't analytically sizable — build and compare actual bytes
+    built: bytes | None = None
+    if allow_dod and s.is_sorted and n >= 4 and dod.varint_floor(v) < best_size * 2:
+        # delta-of-delta (reference examples/integration/delta_compression.c,
+        # examples/reference/timeseries_db.c:240-320): regular-cadence
+        # streams collapse the second derivative to ~0, which the nested
+        # selection RLEs far below any analytic candidate. The GCD-scaled
+        # varint floor pre-filter (an upper bound on the nested block up to
+        # its ~3-byte header) skips the build when DoD can't plausibly win.
+        cand = dod.encode(v, encode_int_block=_encode_int_block_nested)
+        if len(cand) < best_size:
+            best_id, best_size, built = DOD, len(cand), cand
     if segments is not None and 0 < len(segments) < n and best_size > n // 2:
-        # segment-aware delta with a nested re-encoded stream: build it and
-        # compare actual bytes (the nested selection isn't analytically
-        # sizable without building). Skipped when the winner is already
-        # under ~0.5 B/value — seg-delta can't meaningfully beat that.
+        # segment-aware delta. Skipped when the winner is already under
+        # ~0.5 B/value — seg-delta can't meaningfully beat that.
         cand = segdelta.encode(v, segments, encode_int_block=_encode_int_block_nested)
         if len(cand) < best_size:
-            return blocks.pack_block(SEG_DELTA, n, cand)
-    payload = _INT_ENCODERS[best_id](v)
+            best_id, best_size, built = SEG_DELTA, len(cand), cand
+    payload = built if built is not None else _INT_ENCODERS[best_id](v)
     return blocks.pack_block(best_id, n, payload)
 
 
 def _encode_int_block_nested(values: np.ndarray) -> bytes:
-    """Nested-stream encoder for segdelta — no further segment recursion."""
-    return encode_int_block(values)
+    """Nested-stream encoder for segdelta/dod — no further segment or
+    delta-of-delta recursion (a sorted nested stream would otherwise
+    build DoD-inside-DoD without bound)."""
+    return encode_int_block(values, allow_dod=False)
 
 
 def decode_int_block(buf: bytes | memoryview) -> np.ndarray:
