@@ -261,6 +261,34 @@ def _q_dod_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.crossJoin(codec)
 
 
+def _q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-sidecar equality pruning (reference
+    examples/advanced/bloom_filter.c; 2.5M ops/s membership claim
+    README.md:193): a hash-scattered high-cardinality tag column makes
+    every chunk's zone map span the whole domain — min/max prunes
+    nothing — but each chunk's Bloom sidecar still answers "definitely
+    absent", so the probe drops non-matching chunks at the metadata scan
+    (pytest pins the skip count and the FP bound). The pruned decode +
+    exact filter is answer-invariant vs the oracle's plain WHERE: false
+    positives only keep extra chunks that the exact filter removes."""
+    from varint_spark.engine import (EncodeOptions, decode_blocks,
+                                     prune_chunks_bloom)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.lit("all").alias("g"),
+        F.concat(F.lit("u"), F.pmod(F.col("event_id") * 2654435761,
+                                    F.lit(1000003)).cast("string")).alias("tag"))
+    opts = EncodeOptions(num_buckets=4, chunk_rows=1024, salt_span=1 << 30,
+                         group_col="g", order_col="event_id",
+                         bloom_cols=("tag",))
+    kinds = {"event_id": "int64", "tag": "str"}
+    blocks = encode_transcripts(ev, opts, kinds=kinds)
+    probe = f"u{(7 * 2654435761) % 1000003}"  # tag of event_id 7
+    pruned = prune_chunks_bloom(blocks, "tag", probe, kind="str")
+    return decode_blocks(pruned, "event_id long, tag string",
+                         kinds=kinds).filter(F.col("tag") == probe)
+
+
 def _q_random_access_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point lookups into encoded blocks WITHOUT full decode (reference
     varintFORGetAt/varintPFORGetAt/varintRLEGetAt — SURVEY §2.A.5): encode
@@ -1405,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitmap_codec_algebra": _q_bitmap_codec,
         # --- new in r6 (insert here, inside the 50-row window) --------
         "codec_dod_timestamps": _q_dod_timestamps,
+        "bloom_prune": _q_bloom_prune,
         # --- r5-green re-pins filling out the window ------------------
         "tagged_sortable_keys": _q_tagged_sortable,
         "topk_per_group": _q_topk_per_group,
@@ -1676,6 +1705,17 @@ def oracle_sql() -> dict[str, str]:
             " CAST(1700000000000000 + event_id * 1000000"
             "  + ((event_id * 2654435761) % 1001 - 500) * 1000 AS BIGINT)"
             " AS v, 'dod' AS codec FROM events"
+        ),
+        # answer-invariance of bloom pruning: the pruned decode + exact
+        # filter must return exactly the plain-WHERE rows (FPs only keep
+        # extra chunks; the skip-count evidence lives in pytest).
+        # Positive operands: DuckDB % == Spark pmod.
+        "bloom_prune": (
+            "SELECT event_id,"
+            " 'u' || CAST((event_id * 2654435761) % 1000003 AS VARCHAR) AS tag"
+            " FROM events"
+            " WHERE (event_id * 2654435761) % 1000003"
+            "     = (7 * 2654435761) % 1000003"
         ),
         # memcmp order over tagged-encoded (user_id, event_id) must equal
         # logical pair order — checked exhaustively, summarized in one row

@@ -33,6 +33,7 @@ import hashlib
 from dataclasses import dataclass
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -85,7 +86,7 @@ BLOCK_SCHEMA_DDL = (
     "part_key string, chunk_id int, column string, codec string, "
     "count long, null_count long, raw_bytes long, encoded_bytes long, "
     "varint_bytes long, min_val long, max_val long, "
-    "min_str string, max_str string, digest string, block binary"
+    "min_str string, max_str string, bloom binary, digest string, block binary"
 )
 
 DEFAULT_CHUNK_ROWS = 65_536
@@ -105,6 +106,11 @@ class EncodeOptions:
     # same opt-in for array<float> embedding columns ('medium'|'low';
     # None = bit-exact matrix codec)
     f32_precision: str | None = None
+    # per-chunk Bloom sidecars (varint_spark.bloom) for these columns —
+    # equality pruning where zone maps can't prune (scattered
+    # high-cardinality values). Opt-in: ~bloom_bits/8 bytes per value.
+    bloom_cols: tuple = ()
+    bloom_bits: int = 10
 
 
 INT_KINDS = ("int32", "int64", "ts", "tsntz", "f64")
@@ -115,6 +121,7 @@ _BLOCK_PA_SCHEMA = pa.schema([
     ("raw_bytes", pa.int64()), ("encoded_bytes", pa.int64()),
     ("varint_bytes", pa.int64()), ("min_val", pa.int64()), ("max_val", pa.int64()),
     ("min_str", pa.string()), ("max_str", pa.string()),
+    ("bloom", pa.binary()),
     ("digest", pa.string()), ("block", pa.binary()),
 ])
 
@@ -172,11 +179,15 @@ def _encode_chunk_rows(columns: dict[str, pa.Array], n: int, part_key: str,
                        segments: np.ndarray | None = None,
                        fsst_cache: dict | None = None,
                        f64_precision: str | None = None,
-                       f32_precision: str | None = None) -> list[dict]:
+                       f32_precision: str | None = None,
+                       bloom_cols: tuple = (), bloom_bits: int = 10) -> list[dict]:
+    from . import bloom as bloom_mod
+
     rows = []
     for col, kind in kinds.items():
         arr = columns[col]
         mn = mx = smn = smx = None
+        sidecar = None
         if kind == "f32list":
             # Arrow list layout: 4 B per element + 4 B offset per row
             n_vals = int(pa.compute.sum(pa.compute.list_value_length(arr)).as_py() or 0)
@@ -191,6 +202,8 @@ def _encode_chunk_rows(columns: dict[str, pa.Array], n: int, part_key: str,
             vb = varint.encoded_size(dv)
             if len(dv) and kind != "f64":  # zone-map stats (chunk pruning)
                 mn, mx = int(dv.min()), int(dv.max())
+                if col in bloom_cols:  # equality sidecar (prune_chunks_bloom)
+                    sidecar = bloom_mod.build(bloom_mod.hash_ints(dv), bloom_bits)
             block = encode_column(arr, "f64" if kind == "f64" else "int",
                                   segments=segments,
                                   f64_precision=f64_precision if kind == "f64" else None)
@@ -202,6 +215,10 @@ def _encode_chunk_rows(columns: dict[str, pa.Array], n: int, part_key: str,
                 mm = pa.compute.min_max(arr)
                 smn = _zone_str(mm["min"].as_py(), is_min=True)
                 smx = _zone_str(mm["max"].as_py(), is_min=False)
+                if col in bloom_cols:
+                    dense = arr.drop_null() if arr.null_count else arr
+                    sidecar = bloom_mod.build(bloom_mod.hash_strings(dense),
+                                              bloom_bits)
             block = encode_column(arr, "str", (shared_cols or {}).get(col),
                                   fsst_cache=fsst_cache, cache_key=col)
         rows.append({
@@ -218,6 +235,7 @@ def _encode_chunk_rows(columns: dict[str, pa.Array], n: int, part_key: str,
             "max_val": mx,
             "min_str": smn,
             "max_str": smx,
+            "bloom": sidecar,
             "digest": hashlib.sha256(block).hexdigest(),
             "block": block,
         })
@@ -244,7 +262,8 @@ def _resolve_shared(shared, kinds: dict[str, str]) -> dict | None:
 
 def make_encode_udf(kinds: dict[str, str], chunk_rows: int, group_col: str,
                     order_col: str, shared=None, f64_precision: str | None = None,
-                    f32_precision: str | None = None):
+                    f32_precision: str | None = None,
+                    bloom_cols: tuple = (), bloom_bits: int = 10):
     """Grouped-map Arrow UDF: one (bucket, salt) group of rows -> block
     rows. Arrow-native end to end — rows never materialize as Python
     objects (the applyInPandas equivalent spends most of its time building
@@ -265,7 +284,8 @@ def make_encode_udf(kinds: dict[str, str], chunk_rows: int, group_col: str,
             segments = _run_lengths(chunk_cols[group_col]) if group_col in chunk_cols else None
             out.extend(_encode_chunk_rows(chunk_cols, m, part_key, chunk_id, kinds,
                                           shared_cols, segments, fsst_cache,
-                                          f64_precision, f32_precision))
+                                          f64_precision, f32_precision,
+                                          bloom_cols, bloom_bits))
         return pa.Table.from_pylist(out, schema=_BLOCK_PA_SCHEMA)
 
     return encode_group
@@ -291,7 +311,8 @@ def encode_transcripts(df: DataFrame, opts: EncodeOptions = EncodeOptions(),
     kinds = kinds or kinds_for_schema(df.schema)
     keyed = with_partition_keys(df, opts)
     fn = make_encode_udf(kinds, opts.chunk_rows, opts.group_col, opts.order_col,
-                         shared, opts.f64_precision, opts.f32_precision)
+                         shared, opts.f64_precision, opts.f32_precision,
+                         opts.bloom_cols, opts.bloom_bits)
     return keyed.groupBy("_bucket", "_salt").applyInArrow(fn, BLOCK_SCHEMA_DDL)
 
 
@@ -498,7 +519,8 @@ def compact_blocks(blocks: DataFrame, schema_ddl: str, target_chunk_rows: int,
                    kinds: dict[str, str] | None = None, shared=None,
                    group_col: str | None = None,
                    f64_precision: str | None = None,
-                   f32_precision: str | None = None) -> DataFrame:
+                   f32_precision: str | None = None,
+                   bloom_cols: tuple = (), bloom_bits: int = 10) -> DataFrame:
     """Chunk compaction — the small-chunks maintenance pass a long-lived
     block store needs (streaming epochs and fine-grained encodes leave
     sub-optimal chunks; bigger chunks amortize headers and widen
@@ -551,7 +573,8 @@ def compact_blocks(blocks: DataFrame, schema_ddl: str, target_chunk_rows: int,
             out.extend(_encode_chunk_rows(chunk_cols, m, part_key, chunk_id,
                                           kinds, shared_cols, segments,
                                           fsst_cache, f64_precision,
-                                          f32_precision))
+                                          f32_precision, bloom_cols,
+                                          bloom_bits))
         return pa.Table.from_pylist(out, schema=_BLOCK_PA_SCHEMA)
 
     return blocks.groupBy("part_key").applyInArrow(fn, BLOCK_SCHEMA_DDL)
@@ -645,5 +668,36 @@ def prune_chunks_str(blocks: DataFrame, column: str, eq: str | None = None,
             cond = cond & ((F.col("max_str") >= F.lit(prefix)) | F.col("max_str").isNull())
             if hi is not None:
                 cond = cond & ((F.col("min_str") < F.lit(hi)) | F.col("min_str").isNull())
+    surviving = blocks.filter(cond).select("part_key", "chunk_id").distinct()
+    return blocks.join(surviving, ["part_key", "chunk_id"], "left_semi")
+
+
+def prune_chunks_bloom(blocks: DataFrame, column: str, value,
+                       kind: str = "int64") -> DataFrame:
+    """Bloom-sidecar chunk pruning for an EQUALITY probe: keep only the
+    chunks whose per-chunk Bloom filter for ``column`` might contain
+    ``value`` (reference examples/advanced/bloom_filter.c). This is the
+    pruning stage zone maps cannot provide — a high-cardinality column
+    scattered across chunks has covering min/max spans everywhere, but
+    its Bloom sidecar still answers "definitely absent" per chunk, so a
+    selective probe drops chunks at the metadata scan. Chunks with no
+    sidecar (column not in ``EncodeOptions.bloom_cols``) are kept —
+    pruning is sound, never required; false positives only keep extra
+    chunks, removed by the exact filter after decode. The membership UDF
+    runs over CHUNK-count rows (metadata-sized), never value rows.
+
+    ``kind``: 'str' hashes the probe through the string path; any int
+    kind ('int64'/'int32'/'ts'/'tsntz', epoch-µs for timestamps) through
+    the int path — must match the encoded column's kind."""
+    from . import bloom as bloom_mod
+
+    h = bloom_mod.probe_hash(value, "str" if kind == "str" else "int64")
+
+    @F.pandas_udf("boolean")
+    def _might(b: pd.Series) -> pd.Series:
+        from varint_spark import bloom as bm
+        return b.apply(lambda s: s is None or bm.might_contain(s, h))
+
+    cond = (F.col("column") == column) & _might(F.col("bloom"))
     surviving = blocks.filter(cond).select("part_key", "chunk_id").distinct()
     return blocks.join(surviving, ["part_key", "chunk_id"], "left_semi")
