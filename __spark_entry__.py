@@ -1094,6 +1094,28 @@ def _q_text_search_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     none_of=["filter"])
 
 
+def _q_text_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase retrieval: positional postings per (token, 64Ki doc shard)
+    through the engine's own cost-gated int codecs, query = serialized
+    AND of the doc bitmaps (driver-bounded) then executor-side position-
+    adjacency verification on the candidate shards only
+    (pipeline/textindex.search_phrase; the reference's inverted-index
+    example examples/advanced/inverted_index.c is doc-granular — this is
+    parity-plus). Oracle replays adjacency from raw text as a token-
+    boundary regex, so the whole positional build+verify chain is
+    value-gated."""
+    from varint_spark.pipeline import textindex
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = ["key", "scan", "query"]
+    postings = textindex.build_token_postings(docs, "doc_id", "text",
+                                              vocab=vocab)
+    pos = textindex.build_positional_postings(docs, "doc_id", "text",
+                                              vocab=vocab)
+    return textindex.search_phrase(spark, postings, pos,
+                                   ["key", "scan", "query"])
+
+
 def _q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering gate: events laid out on the Morton curve of
     (user_id, ts) — both dimensions' zone maps prune chunks
@@ -1434,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r6 (insert here, inside the 50-row window) --------
         "codec_dod_timestamps": _q_dod_timestamps,
         "bloom_prune": _q_bloom_prune,
+        "text_search_phrase": _q_text_search_phrase,
         # --- r5-green re-pins filling out the window ------------------
         "tagged_sortable_keys": _q_tagged_sortable,
         "topk_per_group": _q_topk_per_group,
@@ -2125,6 +2148,13 @@ def oracle_sql() -> dict[str, str]:
             r" '\s+'), t -> length(t) > 0), 'join')"
             r" AND list_contains(list_filter(regexp_split_to_array(text,"
             r" '\s+'), t -> length(t) > 0), 'filter')"
+        ),
+        # phrase adjacency replayed from raw text: with whitespace
+        # tokenization, "key scan query" adjacent in token space is
+        # exactly a token-boundary regex over the raw string
+        "text_search_phrase": (
+            "SELECT doc_id FROM documents"
+            r" WHERE regexp_matches(text, '(^|\s)key\s+scan\s+query(\s|$)')"
         ),
         "text_search_boolean": (
             r"WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array("

@@ -754,3 +754,107 @@ def test_portable_sampling_negative_ids_bucket_uniformly(spark):
         n = sampling.stratified_sample(
             ids, "src", "doc_id", 0.25, hash_mode=mode).count()
         assert 700 < n < 1300, (mode, n)
+
+
+def _phrase_ids(texts: dict, phrase: list[str]) -> list[int]:
+    # python reference: whitespace tokens, exact adjacent subsequence
+    out = []
+    for i, t in texts.items():
+        toks = t.split()
+        if any(toks[j:j + len(phrase)] == phrase
+               for j in range(len(toks) - len(phrase) + 1)):
+            out.append(i)
+    return sorted(out)
+
+
+def test_phrase_search(spark, docs):
+    """Positional postings + adjacency verify reproduce exact phrase
+    membership for 1/2/3-token and repeated-token phrases; an absent
+    token short-circuits empty; empty phrase raises."""
+    from varint_spark.pipeline import textindex
+
+    vocab = ["key", "scan", "query", "a", "value"]
+    postings = textindex.build_token_postings(docs, "doc_id", "text",
+                                              vocab=vocab)
+    pos = textindex.build_positional_postings(docs, "doc_id", "text",
+                                              vocab=vocab)
+    postings.cache().count(), pos.cache().count()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+
+    for phrase in (["key", "scan"], ["key", "scan", "query"],
+                   ["a", "a"], ["value"]):
+        got = sorted(r.doc_id for r in textindex.search_phrase(
+            spark, postings, pos, phrase).collect())
+        assert got == _phrase_ids(texts, phrase), phrase
+    # at least one of the shapes must be non-trivial on this fixture
+    assert _phrase_ids(texts, ["key", "scan"]) or \
+        _phrase_ids(texts, ["a", "a"])
+    assert textindex.search_phrase(
+        spark, postings, pos, ["key", "nosuchtoken"]).count() == 0
+    with pytest.raises(ValueError, match="empty phrase"):
+        textindex.search_phrase(spark, postings, pos, [])
+
+
+def test_phrase_search_multi_shard(spark):
+    """Doc ids straddling the 64Ki container boundary: positional shards
+    align with the bitmap containers and the per-shard verify unions
+    correctly across shards."""
+    from varint_spark.pipeline import textindex
+
+    rows = [(65530 + i, "x y z" if i % 3 == 0 else "x z y")
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    postings = textindex.build_token_postings(df, "doc_id", "text")
+    pos = textindex.build_positional_postings(df, "doc_id", "text")
+    got = sorted(r.doc_id for r in textindex.search_phrase(
+        spark, postings, pos, ["x", "y"]).collect())
+    want = sorted(i for i, t in rows if t.startswith("x y"))
+    assert got == want and len({i >> 16 for i in want}) == 2
+
+
+def test_phrase_results_born_distributed(spark, docs, monkeypatch):
+    """Phrase queries keep the module's driver contract: the driver only
+    folds/shards serialized bitmaps — full-bitmap decode and positional
+    decode never run driver-side (executor workers re-import the module,
+    so these driver-process monkeypatches cannot leak into them)."""
+    from varint_spark.codecs import bitmap
+    from varint_spark.pipeline import textindex
+
+    vocab = ["key", "scan"]
+    postings = textindex.build_token_postings(docs, "doc_id", "text",
+                                              vocab=vocab)
+    pos = textindex.build_positional_postings(docs, "doc_id", "text",
+                                              vocab=vocab)
+    postings.cache().count(), pos.cache().count()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+
+    def boom(*a, **k):
+        raise AssertionError("decode called on the driver")
+
+    monkeypatch.setattr(bitmap, "decode", boom)
+    monkeypatch.setattr(textindex, "decode_pos_block", boom)
+    got = sorted(r.doc_id for r in textindex.search_phrase(
+        spark, postings, pos, ["key", "scan"]).collect())
+    assert got == _phrase_ids(texts, ["key", "scan"])
+
+
+def test_pos_block_roundtrip():
+    """pos_block layout: (docs, counts, positions) through the engine's
+    cost-gated int codecs, byte-deterministic for a fixed value set."""
+    import pyarrow as pa
+    from varint_spark.pipeline.textindex import (_encode_pos_group,
+                                                 decode_pos_block)
+
+    lows = [5, 5, 5, 9, 130, 130]
+    ps = [2, 40, 41, 0, 7, 1000]
+    t = pa.table({"token": ["t"] * 6, "shard": [0] * 6,
+                  "low": lows, "pos": ps})
+    blob = _encode_pos_group(None, t).column("pos_block")[0].as_py()
+    docs, counts, pos = decode_pos_block(blob)
+    assert docs.tolist() == [5, 9, 130]
+    assert counts.tolist() == [3, 1, 2]
+    assert pos.tolist() == [2, 40, 41, 0, 7, 1000]
+    # permuted input rows -> identical bytes (lexsort canonicalization)
+    t2 = pa.table({"token": ["t"] * 6, "shard": [0] * 6,
+                   "low": lows[::-1], "pos": ps[::-1]})
+    assert _encode_pos_group(None, t2).column("pos_block")[0].as_py() == blob

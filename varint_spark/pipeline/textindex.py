@@ -20,9 +20,12 @@ driver only serialized containers, never Python id tuples.
 
 from __future__ import annotations
 
+import numpy as np
+import pyarrow as pa
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..codecs import bitmap
+from ..codecs import bitmap, blocks
 from ..bitmap_index import build_bitmaps
 
 TOKEN_SPLIT = r"\s+"  # the pipeline-wide whitespace tokenization
@@ -144,3 +147,154 @@ def search_boolean(spark: SparkSession, postings: DataFrame,
     if neg is not None:
         acc = bitmap.bitmap_andnot(acc, neg)
     return _ids_dataframe(spark, acc)
+
+
+# ---- positional postings / phrase queries -----------------------------------
+#
+# The doc-granular index above answers AND-of-terms; a PHRASE ("spark
+# shuffle") additionally needs token positions. The reference's own
+# inverted-index example (examples/advanced/inverted_index.c) is
+# doc-granular, so this layer is parity-plus. Layout mirrors every
+# positional search index: per (token, 64Ki doc shard) one block holding
+# the shard's doc lows, per-doc occurrence counts, and the concatenated
+# ascending position lists — each of the three arrays through the
+# engine's own cost-gated int codecs (encode_int_block), so postings
+# compress with the same machinery as column chunks::
+#
+#     [n_docs: leb128][sub: docs block][sub: counts block][sub: pos block]
+#
+# Sharding at the SAME 64Ki boundary as the bitmap containers is the
+# point: a phrase query ANDs the doc-granular bitmaps first (serialized,
+# driver-bounded), then joins the candidate containers against exactly
+# the matching positional shards — adjacency verification runs
+# executor-side on candidates only, and result ids are born distributed.
+
+_POS_DDL = "token string, shard long, pos_block binary"
+
+
+def _encode_pos_group(key, table):
+    # grouped-map applyInArrow over (token, shard): deterministic at any
+    # parallelism because the block is a pure function of the group's
+    # (low, pos) set — lexsort fixes the order, values fix the bytes.
+    from ..selector import encode_int_block
+
+    lows = np.asarray(table.column("low"), dtype=np.int64)
+    pos = np.asarray(table.column("pos"), dtype=np.int64)
+    order = np.lexsort((pos, lows))
+    lows, pos = lows[order], pos[order]
+    docs, counts = np.unique(lows, return_counts=True)
+    blob = (blocks.put_uvarint(len(docs))
+            + blocks.put_sub(encode_int_block(docs))
+            + blocks.put_sub(encode_int_block(counts.astype(np.int64)))
+            + blocks.put_sub(encode_int_block(pos)))
+    return pa.table({
+        "token": table.column("token").slice(0, 1),
+        "shard": table.column("shard").slice(0, 1),
+        "pos_block": pa.array([blob], type=pa.binary()),
+    })
+
+
+def decode_pos_block(buf: bytes | memoryview):
+    """pos_block -> (doc lows, per-doc counts, concatenated positions)."""
+    from ..selector import decode_int_block
+
+    mv = memoryview(buf)
+    n_docs, p = blocks.take_uvarint(mv, 0)
+    docs_b, p = blocks.take_sub(mv, p)
+    counts_b, p = blocks.take_sub(mv, p)
+    pos_b, p = blocks.take_sub(mv, p)
+    docs = decode_int_block(docs_b)
+    counts = decode_int_block(counts_b)
+    assert len(docs) == n_docs == len(counts)
+    return docs, counts, decode_int_block(pos_b)
+
+
+def build_positional_postings(df: DataFrame, id_col: str, text_col: str,
+                              vocab: list[str] | None = None) -> DataFrame:
+    """(token, shard, pos_block) rows — one block per (token, 64Ki doc
+    block) carrying every occurrence position of the token in that
+    shard's docs. Build cost is the same canonical shape as the bitmap
+    postings: one posexplode + one (token, shard) shuffle; a ``vocab``
+    restriction filters BEFORE the shuffle."""
+    arr = F.filter(F.split(F.col(text_col), TOKEN_SPLIT),
+                   lambda t: F.length(t) > 0)
+    toks = df.select(F.col(id_col), F.posexplode(arr).alias("pos", "token"))
+    if vocab is not None:
+        toks = toks.filter(F.col("token").isin(list(vocab)))
+    keyed = toks.select(
+        "token",
+        F.shiftright(F.col(id_col), 16).alias("shard"),
+        F.col(id_col).bitwiseAND(F.lit(65535)).alias("low"),
+        "pos")
+    return keyed.groupBy("token", "shard").applyInArrow(
+        _encode_pos_group, _POS_DDL)
+
+
+def _verify_phrase(offsets: dict[str, list[int]]):
+    """Grouped-map factory: one 64Ki shard's candidate container + the
+    phrase tokens' positional blocks -> matching doc ids. All-numpy: each
+    phrase slot i keeps keys (doc_low << 32 | pos - i); a doc matches iff
+    one key survives intersection across every slot."""
+    n_slots = sum(len(v) for v in offsets.values())
+
+    def fn(key, table):
+        from varint_spark.codecs import bitmap as bm
+        from varint_spark.pipeline.textindex import decode_pos_block
+
+        shard = int(table.column("shard")[0].as_py())
+        tokens = table.column("token").to_pylist()
+        if len(set(tokens)) < len(offsets):  # a phrase token absent here
+            return pa.table({"doc_id": pa.array([], type=pa.int64())})
+        cand = bm.decode_shard(table.column("container")[0].as_py()) \
+            .astype(np.int64)
+        keys = None
+        for row, tok in enumerate(tokens):
+            docs, counts, pos = decode_pos_block(
+                table.column("pos_block")[row].as_py())
+            doc_rep = np.repeat(docs, counts)
+            keep = np.isin(doc_rep, cand)  # candidates only
+            doc_rep, pos = doc_rep[keep], pos[keep]
+            for i in offsets[tok]:
+                ok = pos >= i
+                k = (doc_rep[ok] << np.int64(32)) | (pos[ok] - i)
+                keys = k if keys is None else np.intersect1d(keys, k)
+                if keys is not None and len(keys) == 0:
+                    return pa.table({"doc_id": pa.array([], type=pa.int64())})
+        hits = np.unique(keys >> np.int64(32))
+        return pa.table({"doc_id": pa.array(
+            (np.int64(shard) << np.int64(16)) | hits, type=pa.int64())})
+
+    return fn, n_slots
+
+
+def search_phrase(spark: SparkSession, postings: DataFrame,
+                  pos_postings: DataFrame, phrase: list[str]) -> DataFrame:
+    """Documents containing the exact token sequence ``phrase`` (adjacent
+    under the pipeline's whitespace tokenization). Two stages, both the
+    bounded shapes of this module: (1) conjunctive AND of the serialized
+    doc bitmaps — driver holds ≤ n_docs/8 bytes, never positions; (2) the
+    candidate containers broadcast-join the phrase tokens' positional
+    shards and adjacency verifies executor-side per 64Ki shard — position
+    data never leaves the executors, result ids are born distributed."""
+    if not phrase:
+        raise ValueError("empty phrase: need at least one token")
+    uniq = list(dict.fromkeys(phrase))
+    rows = postings.filter(F.col("token").isin(uniq)) \
+        .select("token", "posting").collect()
+    by_tok = {r.token: bytes(r.posting) for r in rows}
+    if len(by_tok) < len(uniq):
+        return spark.createDataFrame([], "doc_id long")
+    acc = None
+    for b in sorted((by_tok[t] for t in uniq), key=len):
+        acc = b if acc is None else bitmap.bitmap_and(acc, b)
+    shards = list(bitmap.shard_serialized(acc))
+    if not shards:
+        return spark.createDataFrame([], "doc_id long")
+    cand = spark.createDataFrame(shards, "shard long, container binary")
+    offsets: dict[str, list[int]] = {}
+    for i, t in enumerate(phrase):
+        offsets.setdefault(t, []).append(i)
+    fn, _ = _verify_phrase(offsets)
+    joined = pos_postings.filter(F.col("token").isin(uniq)) \
+        .join(F.broadcast(cand), "shard")
+    return joined.groupBy("shard").applyInArrow(fn, "doc_id long")
