@@ -1094,6 +1094,31 @@ def _q_text_search_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     none_of=["filter"])
 
 
+def _q_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate pushdown from lineage metadata (varint_spark/aggregate.py
+    — the Iceberg-manifest/parquet-footer-stats design over the engine's
+    own lineage): COUNT/MIN/MAX/SUM/AVG per column answered from the
+    chunk stat rows; block payloads are never read on the metadata path
+    (tests/test_aggregate.py pins them out of the scan's ReadSchema).
+    The oracle recomputes every aggregate from the raw table, so the
+    encode-time stat arithmetic (engine._exact_sum 32-bit-halves exact
+    sums, zone min/max) is value-gated end to end. ts stays out of the
+    SUM set: an epoch-µs total over ≥10⁴ rows leaves int64 on BOTH
+    engines (Spark ANSI raises, DuckDB's HUGEINT cast raises) — per-chunk
+    sums are exact-or-NULL, but cross-chunk totals are BIGINT like any
+    engine's SUM."""
+    from varint_spark.aggregate import aggregate_blocks
+    from varint_spark.engine import EncodeOptions, encode_transcripts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_id", "user_id", "ts")
+    opts = EncodeOptions(num_buckets=4, chunk_rows=2048, salt_span=1 << 30,
+                         group_col="user_id", order_col="event_id")
+    kinds = {"event_id": "int64", "user_id": "int64", "ts": "tsntz"}
+    blocks = encode_transcripts(ev, opts, kinds=kinds)
+    return aggregate_blocks(blocks, ["event_id", "user_id"], kinds)
+
+
 def _q_text_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase retrieval: positional postings per (token, 64Ki doc shard)
     through the engine's own cost-gated int codecs, query = serialized
@@ -1457,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_dod_timestamps": _q_dod_timestamps,
         "bloom_prune": _q_bloom_prune,
         "text_search_phrase": _q_text_search_phrase,
+        "agg_pushdown_metadata": _q_agg_pushdown,
         # --- r5-green re-pins filling out the window ------------------
         "tagged_sortable_keys": _q_tagged_sortable,
         "topk_per_group": _q_topk_per_group,
@@ -2148,6 +2174,22 @@ def oracle_sql() -> dict[str, str]:
             r" '\s+'), t -> length(t) > 0), 'join')"
             r" AND list_contains(list_filter(regexp_split_to_array(text,"
             r" '\s+'), t -> length(t) > 0), 'filter')"
+        ),
+        # every aggregate recomputed from the raw table; DuckDB SUM on
+        # BIGINT widens to HUGEINT, so cast back; avg is one double
+        # division of exact ints on both sides (IEEE-identical)
+        "agg_pushdown_metadata": (
+            "SELECT 'event_id' AS \"column\", COUNT(*) AS n_rows,"
+            " COUNT(event_id) AS n_nonnull, MIN(event_id) AS min_val,"
+            " MAX(event_id) AS max_val,"
+            " CAST(SUM(event_id) AS BIGINT) AS sum_val,"
+            " CAST(SUM(event_id) AS DOUBLE) / COUNT(event_id) AS avg_val,"
+            " CAST(0 AS BIGINT) AS n_sum_missing FROM events"
+            " UNION ALL"
+            " SELECT 'user_id', COUNT(*), COUNT(user_id), MIN(user_id),"
+            " MAX(user_id), CAST(SUM(user_id) AS BIGINT),"
+            " CAST(SUM(user_id) AS DOUBLE) / COUNT(user_id),"
+            " CAST(0 AS BIGINT) FROM events"
         ),
         # phrase adjacency replayed from raw text: with whitespace
         # tokenization, "key scan query" adjacent in token space is

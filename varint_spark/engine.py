@@ -85,7 +85,7 @@ def kinds_for_schema(schema: T.StructType) -> dict[str, str]:
 BLOCK_SCHEMA_DDL = (
     "part_key string, chunk_id int, column string, codec string, "
     "count long, null_count long, raw_bytes long, encoded_bytes long, "
-    "varint_bytes long, min_val long, max_val long, "
+    "varint_bytes long, min_val long, max_val long, sum_val long, "
     "min_str string, max_str string, bloom binary, digest string, block binary"
 )
 
@@ -120,6 +120,7 @@ _BLOCK_PA_SCHEMA = pa.schema([
     ("codec", pa.string()), ("count", pa.int64()), ("null_count", pa.int64()),
     ("raw_bytes", pa.int64()), ("encoded_bytes", pa.int64()),
     ("varint_bytes", pa.int64()), ("min_val", pa.int64()), ("max_val", pa.int64()),
+    ("sum_val", pa.int64()),
     ("min_str", pa.string()), ("max_str", pa.string()),
     ("bloom", pa.binary()),
     ("digest", pa.string()), ("block", pa.binary()),
@@ -173,6 +174,19 @@ def _run_lengths(arr: pa.Array) -> np.ndarray:
     return np.diff(np.append(starts, n))
 
 
+def _exact_sum(dv: np.ndarray) -> int | None:
+    """Exact int64-domain sum of a chunk's values via 32-bit halves (the
+    naive int64 sum wraps silently): lo-half sums fit uint64 up to 2^32
+    rows, hi-half sums fit int64 up to 2^32 rows. Returns None when the
+    true sum leaves the int64 domain — aggregate_blocks decodes those
+    chunks instead of trusting a wrapped number."""
+    lo = int((dv & np.int64(0xFFFFFFFF)).astype(np.uint64)
+             .sum(dtype=np.uint64))
+    hi = int((dv >> np.int64(32)).sum(dtype=np.int64))
+    s = (hi << 32) + lo
+    return s if -(1 << 63) <= s < (1 << 63) else None
+
+
 def _encode_chunk_rows(columns: dict[str, pa.Array], n: int, part_key: str,
                        chunk_id: int, kinds: dict[str, str],
                        shared_cols: dict | None = None,
@@ -186,7 +200,7 @@ def _encode_chunk_rows(columns: dict[str, pa.Array], n: int, part_key: str,
     rows = []
     for col, kind in kinds.items():
         arr = columns[col]
-        mn = mx = smn = smx = None
+        mn = mx = sv = smn = smx = None
         sidecar = None
         if kind == "f32list":
             # Arrow list layout: 4 B per element + 4 B offset per row
@@ -202,6 +216,7 @@ def _encode_chunk_rows(columns: dict[str, pa.Array], n: int, part_key: str,
             vb = varint.encoded_size(dv)
             if len(dv) and kind != "f64":  # zone-map stats (chunk pruning)
                 mn, mx = int(dv.min()), int(dv.max())
+                sv = _exact_sum(dv)  # aggregate pushdown (aggregate_blocks)
                 if col in bloom_cols:  # equality sidecar (prune_chunks_bloom)
                     sidecar = bloom_mod.build(bloom_mod.hash_ints(dv), bloom_bits)
             block = encode_column(arr, "f64" if kind == "f64" else "int",
@@ -233,6 +248,7 @@ def _encode_chunk_rows(columns: dict[str, pa.Array], n: int, part_key: str,
             "varint_bytes": int(vb),
             "min_val": mn,
             "max_val": mx,
+            "sum_val": sv,
             "min_str": smn,
             "max_str": smx,
             "bloom": sidecar,
