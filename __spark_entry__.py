@@ -1141,6 +1141,26 @@ def _q_text_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ["key", "scan", "query"])
 
 
+def _q_text_search_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered proximity retrieval (NEAR/slop): 'key … scan … query' with
+    every consecutive gap ≤ 3 token positions — the vectorized position
+    DP over the positional postings (pipeline/textindex.search_near;
+    slop=1 degenerates to the phrase semantics). The oracle replays the
+    proximity chain from raw positions via a three-way self-join, so the
+    positional index and the DP are value-gated independently of the
+    phrase path."""
+    from varint_spark.pipeline import textindex
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = ["key", "scan", "query"]
+    postings = textindex.build_token_postings(docs, "doc_id", "text",
+                                              vocab=vocab)
+    pos = textindex.build_positional_postings(docs, "doc_id", "text",
+                                              vocab=vocab)
+    return textindex.search_near(spark, postings, pos,
+                                 ["key", "scan", "query"], slop=3)
+
+
 def _q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering gate: events laid out on the Morton curve of
     (user_id, ts) — both dimensions' zone maps prune chunks
@@ -1482,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_dod_timestamps": _q_dod_timestamps,
         "bloom_prune": _q_bloom_prune,
         "text_search_phrase": _q_text_search_phrase,
+        "text_search_near": _q_text_search_near,
         "agg_pushdown_metadata": _q_agg_pushdown,
         # --- r5-green re-pins filling out the window ------------------
         "tagged_sortable_keys": _q_tagged_sortable,
@@ -2197,6 +2218,20 @@ def oracle_sql() -> dict[str, str]:
         "text_search_phrase": (
             "SELECT doc_id FROM documents"
             r" WHERE regexp_matches(text, '(^|\s)key\s+scan\s+query(\s|$)')"
+        ),
+        # ordered proximity replayed from raw token positions: a chain
+        # a<b<c with both gaps in [1, slop] must exist (1-based positions
+        # cancel in the deltas)
+        "text_search_near": (
+            r"WITH toks AS (SELECT doc_id, unnest(arr) AS tok,"
+            r" generate_subscripts(arr, 1) AS pos FROM (SELECT doc_id,"
+            r" list_filter(regexp_split_to_array(text, '\s+'),"
+            r" t -> length(t) > 0) AS arr FROM documents))"
+            " SELECT DISTINCT a.doc_id FROM toks a, toks b, toks c"
+            " WHERE a.doc_id = b.doc_id AND b.doc_id = c.doc_id"
+            " AND a.tok = 'key' AND b.tok = 'scan' AND c.tok = 'query'"
+            " AND b.pos - a.pos BETWEEN 1 AND 3"
+            " AND c.pos - b.pos BETWEEN 1 AND 3"
         ),
         "text_search_boolean": (
             r"WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array("

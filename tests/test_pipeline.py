@@ -858,3 +858,49 @@ def test_pos_block_roundtrip():
     t2 = pa.table({"token": ["t"] * 6, "shard": [0] * 6,
                    "low": lows[::-1], "pos": ps[::-1]})
     assert _encode_pos_group(None, t2).column("pos_block")[0].as_py() == blob
+
+
+def _near_ids(texts: dict, tokens: list[str], slop: int) -> list[int]:
+    # python reference DP: ordered chain with every gap in [1, slop]
+    out = []
+    for i, t in texts.items():
+        toks = t.split()
+        reach = [j for j, w in enumerate(toks) if w == tokens[0]]
+        for want in tokens[1:]:
+            nxt = [j for j, w in enumerate(toks) if w == want
+                   and any(1 <= j - q <= slop for q in reach)]
+            reach = nxt
+        if reach:
+            out.append(i)
+    return sorted(out)
+
+
+def test_near_search(spark, docs):
+    """Ordered proximity: vectorized DP equals the python reference for
+    several slops; slop=1 equals the phrase result; guard rails."""
+    from varint_spark.pipeline import textindex
+
+    vocab = ["key", "scan", "query", "a"]
+    postings = textindex.build_token_postings(docs, "doc_id", "text",
+                                              vocab=vocab)
+    pos = textindex.build_positional_postings(docs, "doc_id", "text",
+                                              vocab=vocab)
+    postings.cache().count(), pos.cache().count()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+
+    for tokens, slop in ((["key", "scan"], 3), (["key", "scan", "query"], 4),
+                         (["a", "a"], 2), (["key", "scan"], 1)):
+        got = sorted(r.doc_id for r in textindex.search_near(
+            spark, postings, pos, tokens, slop=slop).collect())
+        assert got == _near_ids(texts, tokens, slop), (tokens, slop)
+    # wider slop can only add docs; slop=1 == phrase
+    s1 = sorted(r.doc_id for r in textindex.search_near(
+        spark, postings, pos, ["key", "scan"], slop=1).collect())
+    ph = sorted(r.doc_id for r in textindex.search_phrase(
+        spark, postings, pos, ["key", "scan"]).collect())
+    assert s1 == ph
+    s5 = sorted(r.doc_id for r in textindex.search_near(
+        spark, postings, pos, ["key", "scan"], slop=5).collect())
+    assert set(s1) <= set(s5)
+    with pytest.raises(ValueError, match="slop"):
+        textindex.search_near(spark, postings, pos, ["key"], slop=0)

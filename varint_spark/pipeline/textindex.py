@@ -267,6 +267,84 @@ def _verify_phrase(offsets: dict[str, list[int]]):
     return fn, n_slots
 
 
+def _verify_near(tokens: list[str], slop: int):
+    """Grouped-map factory for ordered proximity: doc matches iff there
+    exist positions p1 < … < pm of the query tokens in order with each
+    gap 1 ≤ p_{i+1} − p_i ≤ slop. Vectorized DP over (doc << 32 | pos)
+    keys: a position of token i+1 survives iff ANY reachable position of
+    token i lies in its look-back window — two searchsorteds per step,
+    no per-doc Python loop. slop=1 is exactly the phrase semantics."""
+
+    def fn(key, table):
+        from varint_spark.codecs import bitmap as bm
+        from varint_spark.pipeline.textindex import decode_pos_block
+
+        shard = int(table.column("shard")[0].as_py())
+        have = {t: i for i, t in enumerate(table.column("token").to_pylist())}
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64())})
+        if any(t not in have for t in tokens):
+            return empty
+        cand = bm.decode_shard(table.column("container")[0].as_py()) \
+            .astype(np.int64)
+
+        def keys_of(tok):
+            docs, counts, pos = decode_pos_block(
+                table.column("pos_block")[have[tok]].as_py())
+            doc_rep = np.repeat(docs, counts)
+            keep = np.isin(doc_rep, cand)
+            return np.sort((doc_rep[keep] << np.int64(32)) | pos[keep])
+
+        reach = keys_of(tokens[0])
+        for tok in tokens[1:]:
+            if len(reach) == 0:
+                return empty
+            nxt = keys_of(tok)
+            # window [p-slop, p-1] within the same doc: the doc tag in the
+            # high 32 bits keeps searchsorted from bleeding across docs
+            # (positions are ≥ 0, so p-slop clamps at the doc boundary)
+            lo = np.maximum(nxt - np.int64(slop), nxt & ~np.int64(0xFFFFFFFF))
+            exists = (np.searchsorted(reach, nxt, side="left")
+                      > np.searchsorted(reach, lo, side="left"))
+            reach = nxt[exists]
+        if len(reach) == 0:
+            return empty
+        hits = np.unique(reach >> np.int64(32))
+        return pa.table({"doc_id": pa.array(
+            (np.int64(shard) << np.int64(16)) | hits, type=pa.int64())})
+
+    return fn
+
+
+def search_near(spark: SparkSession, postings: DataFrame,
+                pos_postings: DataFrame, tokens: list[str],
+                slop: int = 3) -> DataFrame:
+    """Ordered proximity retrieval: docs where ``tokens`` occur in order
+    with every consecutive gap ≤ ``slop`` token positions. Same two-stage
+    shape as :func:`search_phrase` — serialized AND for candidates, then
+    executor-side position DP per 64Ki shard."""
+    if not tokens:
+        raise ValueError("empty query: need at least one token")
+    if slop < 1:
+        raise ValueError("slop must be ≥ 1 (1 = exact phrase adjacency)")
+    uniq = list(dict.fromkeys(tokens))
+    rows = postings.filter(F.col("token").isin(uniq)) \
+        .select("token", "posting").collect()
+    by_tok = {r.token: bytes(r.posting) for r in rows}
+    if len(by_tok) < len(uniq):
+        return spark.createDataFrame([], "doc_id long")
+    acc = None
+    for b in sorted((by_tok[t] for t in uniq), key=len):
+        acc = b if acc is None else bitmap.bitmap_and(acc, b)
+    shards = list(bitmap.shard_serialized(acc))
+    if not shards:
+        return spark.createDataFrame([], "doc_id long")
+    cand = spark.createDataFrame(shards, "shard long, container binary")
+    joined = pos_postings.filter(F.col("token").isin(uniq)) \
+        .join(F.broadcast(cand), "shard")
+    return joined.groupBy("shard").applyInArrow(
+        _verify_near(tokens, slop), "doc_id long")
+
+
 def search_phrase(spark: SparkSession, postings: DataFrame,
                   pos_postings: DataFrame, phrase: list[str]) -> DataFrame:
     """Documents containing the exact token sequence ``phrase`` (adjacent
