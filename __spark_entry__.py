@@ -1119,6 +1119,59 @@ def _q_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregate_blocks(blocks, ["event_id", "user_id"], kinds)
 
 
+def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate COUNT(DISTINCT) from per-chunk HLL sidecars
+    (varint_spark/hll.py + aggregate.approx_distinct_blocks): opt-in
+    2^p-register sketches ride the lineage rows, merge by elementwise
+    register max in a two-stage distributed fold, and answer cardinality
+    for any chunk subset without decoding a payload. The estimate itself
+    is probabilistic, so the gate pins it the honest way: the row carries
+    the EXACT count (oracle-matched) plus a within-5%-of-exact boolean
+    the oracle expects TRUE — an out-of-bound sketch turns the row red."""
+    from varint_spark.aggregate import approx_distinct_blocks
+    from varint_spark.engine import EncodeOptions, encode_transcripts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_id", "user_id")
+    opts = EncodeOptions(num_buckets=4, chunk_rows=2048, salt_span=1 << 30,
+                         group_col="user_id", order_col="event_id",
+                         hll_cols=("event_id", "user_id"))
+    kinds = {"event_id": "int64", "user_id": "int64"}
+    blocks = encode_transcripts(ev, opts, kinds=kinds)
+    est = approx_distinct_blocks(blocks, ["event_id", "user_id"])
+    exact = ev.agg(
+        F.count_distinct("event_id").alias("event_id"),
+        F.count_distinct("user_id").alias("user_id")) \
+        .unpivot([], ["event_id", "user_id"], "column", "n_exact")
+    return est.join(exact, "column").select(
+        "column", "n_exact",
+        (F.abs(F.col("approx_distinct").cast("double")
+               / F.col("n_exact") - 1) <= 0.05).alias("within_bound"))
+
+
+def _q_topk_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k pushdown (varint_spark/aggregate.topk_blocks): ORDER BY
+    event_id DESC LIMIT 100 answered by a zone-map threshold walk over
+    CHUNK metadata (min_val-descending covering prefix → sound k-th-value
+    lower bound), so only candidate chunks decode — no full-table decode,
+    no global sort shuffle (TakeOrdered finishes). The pruning is an
+    optimization, never a filter: the oracle is the plain ORDER BY/LIMIT,
+    and pytest pins that the survivor set is a small fraction of the
+    chunks on this clustered layout."""
+    from varint_spark.aggregate import topk_blocks
+    from varint_spark.engine import EncodeOptions, encode_transcripts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_id", "user_id", "ts")
+    opts = EncodeOptions(num_buckets=4, chunk_rows=1024, salt_span=1 << 30,
+                         group_col="user_id", order_col="event_id")
+    kinds = {"event_id": "int64", "user_id": "int64", "ts": "tsntz"}
+    blocks = encode_transcripts(ev, opts, kinds=kinds)
+    return topk_blocks(blocks, "event_id", 100,
+                       "event_id long, user_id long, ts timestamp_ntz",
+                       kinds=kinds)
+
+
 def _q_text_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase retrieval: positional postings per (token, 64Ki doc shard)
     through the engine's own cost-gated int codecs, query = serialized
@@ -1504,6 +1557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search_phrase": _q_text_search_phrase,
         "text_search_near": _q_text_search_near,
         "agg_pushdown_metadata": _q_agg_pushdown,
+        "topk_pushdown": _q_topk_pushdown,
+        "approx_distinct_hll": _q_approx_distinct,
         # --- r5-green re-pins filling out the window ------------------
         "tagged_sortable_keys": _q_tagged_sortable,
         "topk_per_group": _q_topk_per_group,
@@ -2218,6 +2273,22 @@ def oracle_sql() -> dict[str, str]:
         "text_search_phrase": (
             "SELECT doc_id FROM documents"
             r" WHERE regexp_matches(text, '(^|\s)key\s+scan\s+query(\s|$)')"
+        ),
+        # exact counts oracle-matched; the sketch-within-5% boolean must
+        # come back TRUE or the row goes red
+        "approx_distinct_hll": (
+            "SELECT 'event_id' AS \"column\","
+            " COUNT(DISTINCT event_id) AS n_exact,"
+            " TRUE AS within_bound FROM events"
+            " UNION ALL"
+            " SELECT 'user_id', COUNT(DISTINCT user_id), TRUE FROM events"
+        ),
+        # zone-map pruning can only change which chunks decode, never the
+        # answer: oracle is the plain ORDER BY/LIMIT (event_id unique, so
+        # the row set is deterministic)
+        "topk_pushdown": (
+            "SELECT event_id, user_id, ts FROM events"
+            " ORDER BY event_id DESC LIMIT 100"
         ),
         # ordered proximity replayed from raw token positions: a chain
         # a<b<c with both gaps in [1, slop] must exist (1-based positions

@@ -125,3 +125,53 @@ def test_ts_columns_aggregate_in_zone_domain(spark):
     hi = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
     assert (got["ts"].min_val, got["ts"].max_val) == (lo, hi)
     assert got["rid"].sum_val == sum(range(512))
+
+
+def test_topk_prune_clustered_layout(spark):
+    """Clustered layout: the threshold walk keeps a small survivor set
+    and the answer equals the plain ORDER BY/LIMIT; bottom-k mirrors."""
+    from varint_spark.aggregate import topk_blocks, topk_prune
+
+    n = 8192
+    df = spark.range(n).select(
+        F.col("id").alias("rid"), (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") * 3 + 11).alias("v"))
+    opts = EncodeOptions(num_buckets=2, chunk_rows=512, salt_span=1 << 20,
+                         group_col="g", order_col="rid")
+    kinds = {"rid": "int64", "v": "int64"}
+    blocks = encode_transcripts(df, opts, kinds=kinds).cache()
+    n_chunks = blocks.select("part_key", "chunk_id").distinct().count()
+    kept = topk_prune(blocks, "v", 50).select("part_key", "chunk_id") \
+        .distinct().count()
+    assert kept < n_chunks / 2, (kept, n_chunks)  # real pruning
+    got = [r.v for r in topk_blocks(blocks, "v", 50,
+                                    "rid long, v long", kinds).collect()]
+    want = [r.v for r in df.orderBy(F.col("v").desc()).limit(50).collect()]
+    assert got == want
+    bot = [r.v for r in topk_blocks(blocks, "v", 50, "rid long, v long",
+                                    kinds, descending=False).collect()]
+    assert bot == [r.v for r in df.orderBy("v").limit(50).collect()]
+
+
+def test_topk_scattered_layout_still_exact(spark):
+    """Hash-scattered values: zone maps can't prune (survivors == all),
+    but the answer stays exact — pruning is an optimization, not a
+    filter. Also: k > table size returns everything."""
+    from varint_spark.aggregate import topk_blocks, topk_prune
+
+    n = 2048
+    df = spark.range(n).select(
+        F.col("id").alias("rid"), F.lit("g").alias("g"),
+        F.pmod(F.col("id") * 40503, F.lit(999983)).alias("v"))
+    opts = EncodeOptions(num_buckets=1, chunk_rows=256, salt_span=1 << 20,
+                         group_col="g", order_col="rid")
+    kinds = {"rid": "int64", "v": "int64"}
+    blocks = encode_transcripts(df, opts, kinds=kinds).cache()
+    got = [r.v for r in topk_blocks(blocks, "v", 25,
+                                    "rid long, v long", kinds).collect()]
+    want = [r.v for r in df.orderBy(F.col("v").desc()).limit(25).collect()]
+    assert got == want
+    allv = topk_blocks(blocks, "v", 10 * n, "rid long, v long", kinds)
+    assert allv.count() == n
+    with pytest.raises(ValueError, match="k must be"):
+        topk_prune(blocks, "v", 0)

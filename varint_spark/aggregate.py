@@ -30,7 +30,7 @@ All values are the engine's int64 zone domain (epoch-µs for ts kinds);
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .engine import decode_blocks
 
@@ -102,3 +102,110 @@ def aggregate_blocks(blocks: DataFrame, columns: list[str],
     exact = (F.coalesce(F.col("_sum_meta"), F.lit(0))
              + F.coalesce(F.col("_sum_fb"), F.lit(0)))
     return _finish(joined, exact)
+
+
+def approx_distinct_blocks(blocks: DataFrame,
+                           columns: list[str]) -> DataFrame:
+    """Approximate COUNT(DISTINCT) per column from the per-chunk HLL
+    sidecars (``EncodeOptions.hll_cols``) — works on ANY chunk subset
+    (compose with prune_chunks/_str/_bloom/topk_prune first), never
+    decodes a payload. Two-stage merge, the bitmap-index shape: each
+    partition folds its sketches in ``mapInArrow`` (one partial row per
+    (partition, column)), then one ``applyInArrow`` per column folds the
+    partials and emits the estimate — the driver never holds a sketch.
+    Columns whose chunks lack sketches raise (the sidecar is opt-in)."""
+    import pyarrow as pa
+
+    meta = blocks.filter(F.col("column").isin(list(columns))) \
+        .select("column", "hll")
+
+    def partials(it):
+        from varint_spark import hll as hll_mod
+        acc: dict = {}
+        for batch in it:
+            cols = batch.column("column").to_pylist()
+            sks = batch.column("hll").to_pylist()
+            for c, s in zip(cols, sks):
+                if s is None:
+                    raise ValueError(
+                        f"approx_distinct_blocks: column {c!r} has chunks "
+                        "without HLL sidecars — encode with "
+                        "EncodeOptions(hll_cols=...)")
+                acc[c] = s if c not in acc else hll_mod.merge(acc[c], s)
+        for c in sorted(acc):
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([c]), pa.array([acc[c]], type=pa.binary())],
+                names=["column", "hll"])
+
+    def final(key, table):
+        from varint_spark import hll as hll_mod
+        est = hll_mod.estimate(hll_mod.merge_many(
+            table.column("hll").to_pylist()))
+        return pa.table({"column": table.column("column").slice(0, 1),
+                         "approx_distinct": pa.array([est], type=pa.int64())})
+
+    return meta.mapInArrow(partials, "column string, hll binary") \
+        .groupBy("column").applyInArrow(final, "column string, approx_distinct long")
+
+
+def topk_prune(blocks: DataFrame, column: str, k: int,
+               descending: bool = True) -> DataFrame:
+    """Zone-map pruning for ``ORDER BY column [DESC] LIMIT k``: only the
+    chunks that CAN hold a top-k value survive.
+
+    The bound: walk chunks in min_val-descending order (for DESC; the
+    mirror for ASC) accumulating non-null counts — every value in that
+    prefix is ≥ its chunk's min_val, so once the prefix holds ≥ k values
+    the k-th largest overall is ≥ the prefix's smallest min_val. That
+    scalar T is a sound threshold: any chunk with max_val < T cannot
+    contribute and is dropped before decode. On a clustered layout
+    (Z-order, time-ordered ingest) the survivors are ~k/chunk_rows
+    chunks; on a fully scattered layout everything survives and the
+    answer is still exact — pruning is an optimization, never a filter.
+
+    The threshold walk runs on CHUNK-count metadata rows (one tiny
+    single-partition window + a one-value collect — same budget as
+    zone-map min/max planning); NULL-stat chunks (string/f64) are kept.
+    """
+    if k <= 0:
+        raise ValueError("k must be ≥ 1")
+    meta = blocks.filter((F.col("column") == column)
+                         & F.col("min_val").isNotNull()) \
+        .select("part_key", "chunk_id", "min_val", "max_val",
+                (F.col("count") - F.col("null_count")).alias("_nn"))
+    guard_col = F.col("min_val") if descending else F.col("max_val")
+    order = guard_col.desc() if descending else guard_col.asc()
+    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+    # first chunk where the PRECEDING prefix already holds ≥ k values is
+    # the cut; T = that prefix's weakest guarantee
+    cut = meta.select(guard_col.alias("_g"),
+                      F.coalesce(F.sum("_nn").over(w), F.lit(0)).alias("_cum")) \
+        .filter(F.col("_cum") < k) \
+        .agg((F.min("_g") if descending else F.max("_g")).alias("t")) \
+        .collect()[0]
+    t = cut.t
+    if t is None:  # no chunks with stats: keep everything
+        return blocks
+    if descending:
+        cond = ((F.col("column") == column)
+                & ((F.col("max_val") >= F.lit(int(t)))
+                   | F.col("max_val").isNull()))
+    else:
+        cond = ((F.col("column") == column)
+                & ((F.col("min_val") <= F.lit(int(t)))
+                   | F.col("min_val").isNull()))
+    surviving = blocks.filter(cond).select("part_key", "chunk_id").distinct()
+    return blocks.join(surviving, ["part_key", "chunk_id"], "left_semi")
+
+
+def topk_blocks(blocks: DataFrame, column: str, k: int, schema_ddl: str,
+                kinds: dict[str, str] | None = None,
+                descending: bool = True) -> DataFrame:
+    """Exact ``SELECT ... ORDER BY column [DESC] LIMIT k`` over the block
+    store: :func:`topk_prune` drops non-candidate chunks at the metadata
+    scan, only survivors decode, and Spark's TakeOrdered finishes — no
+    global sort shuffle, no full-table decode."""
+    pruned = topk_prune(blocks, column, k, descending)
+    out = decode_blocks(pruned, schema_ddl, kinds=kinds)
+    order = F.col(column).desc() if descending else F.col(column).asc()
+    return out.orderBy(order).limit(k)

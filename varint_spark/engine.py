@@ -86,7 +86,8 @@ BLOCK_SCHEMA_DDL = (
     "part_key string, chunk_id int, column string, codec string, "
     "count long, null_count long, raw_bytes long, encoded_bytes long, "
     "varint_bytes long, min_val long, max_val long, sum_val long, "
-    "min_str string, max_str string, bloom binary, digest string, block binary"
+    "min_str string, max_str string, bloom binary, hll binary, "
+    "digest string, block binary"
 )
 
 DEFAULT_CHUNK_ROWS = 65_536
@@ -111,6 +112,11 @@ class EncodeOptions:
     # high-cardinality values). Opt-in: ~bloom_bits/8 bytes per value.
     bloom_cols: tuple = ()
     bloom_bits: int = 10
+    # per-chunk HyperLogLog sketches (varint_spark.hll) for these columns
+    # — approximate COUNT(DISTINCT) from metadata over any chunk subset.
+    # Opt-in: 2^hll_p bytes per (chunk, column); ±1.04/sqrt(2^p).
+    hll_cols: tuple = ()
+    hll_p: int = 12
 
 
 INT_KINDS = ("int32", "int64", "ts", "tsntz", "f64")
@@ -122,7 +128,7 @@ _BLOCK_PA_SCHEMA = pa.schema([
     ("varint_bytes", pa.int64()), ("min_val", pa.int64()), ("max_val", pa.int64()),
     ("sum_val", pa.int64()),
     ("min_str", pa.string()), ("max_str", pa.string()),
-    ("bloom", pa.binary()),
+    ("bloom", pa.binary()), ("hll", pa.binary()),
     ("digest", pa.string()), ("block", pa.binary()),
 ])
 
@@ -194,14 +200,16 @@ def _encode_chunk_rows(columns: dict[str, pa.Array], n: int, part_key: str,
                        fsst_cache: dict | None = None,
                        f64_precision: str | None = None,
                        f32_precision: str | None = None,
-                       bloom_cols: tuple = (), bloom_bits: int = 10) -> list[dict]:
+                       bloom_cols: tuple = (), bloom_bits: int = 10,
+                       hll_cols: tuple = (), hll_p: int = 12) -> list[dict]:
     from . import bloom as bloom_mod
+    from . import hll as hll_mod
 
     rows = []
     for col, kind in kinds.items():
         arr = columns[col]
         mn = mx = sv = smn = smx = None
-        sidecar = None
+        sidecar = sketch = None
         if kind == "f32list":
             # Arrow list layout: 4 B per element + 4 B offset per row
             n_vals = int(pa.compute.sum(pa.compute.list_value_length(arr)).as_py() or 0)
@@ -217,8 +225,12 @@ def _encode_chunk_rows(columns: dict[str, pa.Array], n: int, part_key: str,
             if len(dv) and kind != "f64":  # zone-map stats (chunk pruning)
                 mn, mx = int(dv.min()), int(dv.max())
                 sv = _exact_sum(dv)  # aggregate pushdown (aggregate_blocks)
-                if col in bloom_cols:  # equality sidecar (prune_chunks_bloom)
-                    sidecar = bloom_mod.build(bloom_mod.hash_ints(dv), bloom_bits)
+                if col in bloom_cols or col in hll_cols:
+                    hv = bloom_mod.hash_ints(dv)  # one hash pass, two sidecars
+                    if col in bloom_cols:  # equality (prune_chunks_bloom)
+                        sidecar = bloom_mod.build(hv, bloom_bits)
+                    if col in hll_cols:  # cardinality (approx_distinct_blocks)
+                        sketch = hll_mod.build(hv, hll_p)
             block = encode_column(arr, "f64" if kind == "f64" else "int",
                                   segments=segments,
                                   f64_precision=f64_precision if kind == "f64" else None)
@@ -230,10 +242,13 @@ def _encode_chunk_rows(columns: dict[str, pa.Array], n: int, part_key: str,
                 mm = pa.compute.min_max(arr)
                 smn = _zone_str(mm["min"].as_py(), is_min=True)
                 smx = _zone_str(mm["max"].as_py(), is_min=False)
-                if col in bloom_cols:
+                if col in bloom_cols or col in hll_cols:
                     dense = arr.drop_null() if arr.null_count else arr
-                    sidecar = bloom_mod.build(bloom_mod.hash_strings(dense),
-                                              bloom_bits)
+                    hv = bloom_mod.hash_strings(dense)
+                    if col in bloom_cols:
+                        sidecar = bloom_mod.build(hv, bloom_bits)
+                    if col in hll_cols:
+                        sketch = hll_mod.build(hv, hll_p)
             block = encode_column(arr, "str", (shared_cols or {}).get(col),
                                   fsst_cache=fsst_cache, cache_key=col)
         rows.append({
@@ -252,6 +267,7 @@ def _encode_chunk_rows(columns: dict[str, pa.Array], n: int, part_key: str,
             "min_str": smn,
             "max_str": smx,
             "bloom": sidecar,
+            "hll": sketch,
             "digest": hashlib.sha256(block).hexdigest(),
             "block": block,
         })
@@ -279,7 +295,8 @@ def _resolve_shared(shared, kinds: dict[str, str]) -> dict | None:
 def make_encode_udf(kinds: dict[str, str], chunk_rows: int, group_col: str,
                     order_col: str, shared=None, f64_precision: str | None = None,
                     f32_precision: str | None = None,
-                    bloom_cols: tuple = (), bloom_bits: int = 10):
+                    bloom_cols: tuple = (), bloom_bits: int = 10,
+                    hll_cols: tuple = (), hll_p: int = 12):
     """Grouped-map Arrow UDF: one (bucket, salt) group of rows -> block
     rows. Arrow-native end to end — rows never materialize as Python
     objects (the applyInPandas equivalent spends most of its time building
@@ -301,7 +318,8 @@ def make_encode_udf(kinds: dict[str, str], chunk_rows: int, group_col: str,
             out.extend(_encode_chunk_rows(chunk_cols, m, part_key, chunk_id, kinds,
                                           shared_cols, segments, fsst_cache,
                                           f64_precision, f32_precision,
-                                          bloom_cols, bloom_bits))
+                                          bloom_cols, bloom_bits,
+                                          hll_cols, hll_p))
         return pa.Table.from_pylist(out, schema=_BLOCK_PA_SCHEMA)
 
     return encode_group
@@ -328,7 +346,8 @@ def encode_transcripts(df: DataFrame, opts: EncodeOptions = EncodeOptions(),
     keyed = with_partition_keys(df, opts)
     fn = make_encode_udf(kinds, opts.chunk_rows, opts.group_col, opts.order_col,
                          shared, opts.f64_precision, opts.f32_precision,
-                         opts.bloom_cols, opts.bloom_bits)
+                         opts.bloom_cols, opts.bloom_bits,
+                         opts.hll_cols, opts.hll_p)
     return keyed.groupBy("_bucket", "_salt").applyInArrow(fn, BLOCK_SCHEMA_DDL)
 
 
@@ -536,7 +555,8 @@ def compact_blocks(blocks: DataFrame, schema_ddl: str, target_chunk_rows: int,
                    group_col: str | None = None,
                    f64_precision: str | None = None,
                    f32_precision: str | None = None,
-                   bloom_cols: tuple = (), bloom_bits: int = 10) -> DataFrame:
+                   bloom_cols: tuple = (), bloom_bits: int = 10,
+                   hll_cols: tuple = (), hll_p: int = 12) -> DataFrame:
     """Chunk compaction — the small-chunks maintenance pass a long-lived
     block store needs (streaming epochs and fine-grained encodes leave
     sub-optimal chunks; bigger chunks amortize headers and widen
@@ -590,7 +610,7 @@ def compact_blocks(blocks: DataFrame, schema_ddl: str, target_chunk_rows: int,
                                           kinds, shared_cols, segments,
                                           fsst_cache, f64_precision,
                                           f32_precision, bloom_cols,
-                                          bloom_bits))
+                                          bloom_bits, hll_cols, hll_p))
         return pa.Table.from_pylist(out, schema=_BLOCK_PA_SCHEMA)
 
     return blocks.groupBy("part_key").applyInArrow(fn, BLOCK_SCHEMA_DDL)
