@@ -173,16 +173,23 @@ def _q_matrix_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_elias_heavytail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Elias DELTA_GAMMA through the gate (reference varintEliasGamma,
-    src/varintElias.c:88-226): a sorted stream whose deltas are mostly 3
-    with a 100000 jump every 250 values — fixed-width delta codecs pay the
-    block max (BP128) and LEB128 deltas pay ≥ 8 bits, while per-delta
-    gamma lengths cost ~5 bits (measured on this exact stream: gamma 6406 B
-    vs delta 10078 / bp128 13333 per 10k values). The oracle pins BOTH the
-    decoded values (identity) AND the selected codec name — a selector
-    regression or a gamma decode bug each hash-fail. kinds excludes the
-    constant grouping column so the top-level winner is visible (with it,
-    seg_delta wraps the same gamma stream as its nested codec)."""
+    """Cost-gate promotion on second-order structure: a sorted stream
+    whose deltas are mostly 3 with a 100000 jump every 250 values.
+    History pinned by this gate: r3-r5 the winner was DELTA_GAMMA
+    (per-delta gamma lengths ~5 bits beat LEB128's ≥8 and BP128's block
+    max — measured then: gamma 6406 B vs delta 10078 / bp128 13333 per
+    10k values). r6 added the DOD codec (codecs/dod.py), whose
+    second differences collapse the near-constant deltas to a
+    mostly-zero nested stream — DoD sizes BELOW gamma on this exact
+    fixture (4.0 vs 4.25 bits/value: zigzag taxes always-positive
+    deltas ~1 bit; recentered DoD residuals don't pay it), and the
+    exact-size gate promoted it. The oracle pins BOTH the decoded
+    values (identity) AND the selected codec name, so the promotion is
+    itself value-gated — the sf0.1 sweep is what caught the stale
+    delta_gamma expectation. DELTA_GAMMA stays in the gate (kernel
+    round-trips in tests/test_elias.py; ELIAS_DELTA's octave regime in
+    `codec_elias_delta_octaves`). kinds excludes the constant grouping
+    column so the top-level winner is visible."""
     from varint_spark.engine import EncodeOptions, decode_blocks
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
@@ -642,8 +649,12 @@ def _q_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     state outright:
 
     * ``const_i`` (one distinct value) → FOR, width 0 (min + zero-bit
-      offsets): 5 B — it beats the 1-entry dict's 6 B now that FOR is
+      offsets): 5 B — it beats the 1-entry dict now that FOR is
       never truncated out of the candidate list (ADVICE r3)
+      (r6: the sorted-dict format-version byte, ADVICE r5, grew every
+      dict_str block by exactly 1 B — constants re-derived, the
+      documented golden-test workflow; the sf0.1 sweep caught the stale
+      oracle)
     * ``g`` / ``lowcard`` (1 / 8 distinct strings) → dict_str
     * ``seq`` (sequential ints, delta ≡ 1) → bp128_delta (width-0 blocks)
     * ``noise`` (full-range 64-bit values) → no structure; the cost gate
@@ -1559,6 +1570,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pushdown_metadata": _q_agg_pushdown,
         "topk_pushdown": _q_topk_pushdown,
         "approx_distinct_hll": _q_approx_distinct,
+        # re-derived expectations — these two need fresh driver rows:
+        # their r05 rows predate the dict format-version byte / the DoD
+        # codec's promotion on the heavytail fixture
+        "encode_stats_transcripts": _q_encode_stats,
+        "codec_elias_heavytail": _q_elias_heavytail,
         # --- r5-green re-pins filling out the window ------------------
         "tagged_sortable_keys": _q_tagged_sortable,
         "topk_per_group": _q_topk_per_group,
@@ -1586,7 +1602,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_pfor_outliers": _q_pfor,
         "codec_float_lossy": _q_float_lossy,
         "codec_embedding_lossy": _q_embedding_lossy,
-        "codec_elias_heavytail": _q_elias_heavytail,
         "codec_elias_delta_octaves": _q_elias_delta_octaves,
         "random_access_point": _q_random_access_point,
         "random_access_prune": _q_random_access_prune,
@@ -1601,7 +1616,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analyze_run_lengths": _q_runs,
         "analyze_cardinality": _q_cardinality,
         "analyze_delta_stats": _q_delta_stats,
-        "encode_stats_transcripts": _q_encode_stats,
         "compression_by_column": _q_compression,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_jaccard": _q_dedup_minhash,
@@ -1804,10 +1818,12 @@ def oracle_sql() -> dict[str, str]:
         # identity on the values AND the gate's codec choice: per-delta
         # gamma lengths beat every fixed-width/LEB128 candidate on this
         # deterministic heavy-tailed stream (derivation in the docstring)
+        # r6 re-derivation: the DoD codec now wins this fixture (see the
+        # query docstring) — the pinned expectation moved with the gate
         "codec_elias_heavytail": (
             "SELECT event_id,"
             " CAST(event_id * 3 + (event_id // 250) * 100000 AS BIGINT) AS v,"
-            " 'delta_gamma' AS codec FROM events"
+            " 'dod' AS codec FROM events"
         ),
         # identity on the values AND the gate's codec choice: gamma-coded
         # lengths (Elias delta proper) win the octave-spread regime
@@ -1854,8 +1870,8 @@ def oracle_sql() -> dict[str, str]:
         "encode_stats_transcripts": (
             "SELECT * FROM (VALUES"
             " ('const_i', 'for',         CAST(4096 AS BIGINT), CAST(32768 AS BIGINT), CAST(5 AS BIGINT)),"
-            " ('g',       'dict_str',    CAST(4096 AS BIGINT), CAST(20480 AS BIGINT), CAST(14 AS BIGINT)),"
-            " ('lowcard', 'dict_str',    CAST(4096 AS BIGINT), CAST(36864 AS BIGINT), CAST(1597 AS BIGINT)),"
+            " ('g',       'dict_str',    CAST(4096 AS BIGINT), CAST(20480 AS BIGINT), CAST(15 AS BIGINT)),"
+            " ('lowcard', 'dict_str',    CAST(4096 AS BIGINT), CAST(36864 AS BIGINT), CAST(1598 AS BIGINT)),"
             " ('noise',   'plain_int',   CAST(4096 AS BIGINT), CAST(32768 AS BIGINT), CAST(32771 AS BIGINT)),"
             " ('seq',     'bp128_delta', CAST(4096 AS BIGINT), CAST(32768 AS BIGINT), CAST(1110 AS BIGINT))"
             ") AS t(col, codec, n_values, raw_bytes, encoded_bytes)"
