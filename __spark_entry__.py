@@ -1130,6 +1130,27 @@ def _q_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregate_blocks(blocks, ["event_id", "user_id"], kinds)
 
 
+def _q_groupby_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-accelerated GROUP BY (aggregate.groupby_agg_blocks): on
+    the engine's group-clustered layout, chunks whose group-column zone
+    stats show one distinct value (min == max, zero nulls) contribute
+    their stored count/sum/min/max straight from the lineage row; only
+    group-boundary chunks decode. The split is a partition of the chunk
+    set — every chunk aggregates exactly in one branch — so the oracle
+    is the plain GROUP BY and layout only changes how much decodes
+    (pytest pins the mostly-metadata regime)."""
+    from varint_spark.aggregate import groupby_agg_blocks
+    from varint_spark.engine import EncodeOptions, encode_transcripts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_id", "user_id")
+    opts = EncodeOptions(num_buckets=4, chunk_rows=64, salt_span=1 << 30,
+                         group_col="user_id", order_col="event_id")
+    kinds = {"event_id": "int64", "user_id": "int64"}
+    blocks = encode_transcripts(ev, opts, kinds=kinds)
+    return groupby_agg_blocks(blocks, "user_id", "event_id", kinds)
+
+
 def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate COUNT(DISTINCT) from per-chunk HLL sidecars
     (varint_spark/hll.py + aggregate.approx_distinct_blocks): opt-in
@@ -1570,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pushdown_metadata": _q_agg_pushdown,
         "topk_pushdown": _q_topk_pushdown,
         "approx_distinct_hll": _q_approx_distinct,
+        "groupby_pushdown": _q_groupby_pushdown,
         # re-derived expectations — these two need fresh driver rows:
         # their r05 rows predate the dict format-version byte / the DoD
         # codec's promotion on the heavytail fixture
@@ -2289,6 +2311,15 @@ def oracle_sql() -> dict[str, str]:
         "text_search_phrase": (
             "SELECT doc_id FROM documents"
             r" WHERE regexp_matches(text, '(^|\s)key\s+scan\s+query(\s|$)')"
+        ),
+        # the metadata/decode split is a partition of the chunk set, so
+        # the oracle is the plain GROUP BY
+        "groupby_pushdown": (
+            "SELECT user_id, COUNT(*) AS n_rows,"
+            " COUNT(event_id) AS n_nonnull, MIN(event_id) AS min_val,"
+            " MAX(event_id) AS max_val,"
+            " CAST(SUM(event_id) AS BIGINT) AS sum_val"
+            " FROM events GROUP BY user_id"
         ),
         # exact counts oracle-matched; the sketch-within-5% boolean must
         # come back TRUE or the row goes red

@@ -175,3 +175,63 @@ def test_topk_scattered_layout_still_exact(spark):
     assert allv.count() == n
     with pytest.raises(ValueError, match="k must be"):
         topk_prune(blocks, "v", 0)
+
+
+def test_groupby_agg_from_metadata(spark):
+    """Clustered layout: single-group chunks aggregate from metadata,
+    boundary chunks decode, and the fold equals the plain GROUP BY."""
+    from varint_spark.aggregate import groupby_agg_blocks
+
+    n = 20_000
+    # groups larger than chunk_rows: the clustered regime where most
+    # chunks are single-group (a group smaller than a chunk can never be)
+    df = spark.range(n).select(
+        F.col("id").alias("rid"),
+        (F.col("id") / 2000).cast("long").alias("grp"),
+        (F.col("id") * 7 - 1000).alias("v"))
+    opts = EncodeOptions(num_buckets=2, chunk_rows=512, salt_span=1 << 20,
+                         group_col="grp", order_col="rid")
+    kinds = {"rid": "int64", "grp": "int64", "v": "int64"}
+    blocks = encode_transcripts(
+        df.withColumn("grp", F.col("grp").cast("long")), opts,
+        kinds=kinds).cache()
+    got = {r.grp: (r.n_rows, r.n_nonnull, r.min_val, r.max_val, r.sum_val)
+           for r in groupby_agg_blocks(blocks, "grp", "v", kinds).collect()}
+    want = {r.grp: (r.n, r.nn, r.mn, r.mx, r.s)
+            for r in df.groupBy("grp").agg(
+                F.count("*").alias("n"), F.count("v").alias("nn"),
+                F.min("v").alias("mn"), F.max("v").alias("mx"),
+                F.sum("v").alias("s")).collect()}
+    assert got == want
+    # most chunks really did take the metadata branch on this layout
+    gm = blocks.filter(F.col("column") == "grp")
+    n_single = gm.filter(F.col("min_val") == F.col("max_val")).count()
+    assert n_single > gm.count() * 0.6, (n_single, gm.count())
+
+
+def test_groupby_agg_string_groups_and_nulls(spark):
+    """String groups ride the string zone stats; chunks with NULL group
+    values are forced to the decode branch (zone stats ignore nulls —
+    without the guard their rows would be mis-attributed)."""
+    from varint_spark.aggregate import groupby_agg_blocks
+
+    n = 6000
+    df = spark.range(n).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") % 17 == 0, None)
+        .otherwise(F.concat(F.lit("s"), (F.col("id") / 500).cast("long")
+                            .cast("string"))).alias("grp"),
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id") % 300)
+        .alias("v"))
+    opts = EncodeOptions(num_buckets=1, chunk_rows=256, salt_span=1 << 20,
+                         group_col="grp", order_col="rid")
+    kinds = {"rid": "int64", "grp": "str", "v": "int64"}
+    blocks = encode_transcripts(df, opts, kinds=kinds).cache()
+    got = {r.grp: (r.n_rows, r.n_nonnull, r.min_val, r.max_val, r.sum_val)
+           for r in groupby_agg_blocks(blocks, "grp", "v", kinds).collect()}
+    want = {r.grp: (r.n, r.nn, r.mn, r.mx, r.s)
+            for r in df.groupBy("grp").agg(
+                F.count("*").alias("n"), F.count("v").alias("nn"),
+                F.min("v").alias("mn"), F.max("v").alias("mx"),
+                F.sum("v").alias("s")).collect()}
+    assert got == want and None in got  # null group preserved exactly

@@ -104,6 +104,83 @@ def aggregate_blocks(blocks: DataFrame, columns: list[str],
     return _finish(joined, exact)
 
 
+def groupby_agg_blocks(blocks: DataFrame, group_col: str, val_col: str,
+                       kinds: dict[str, str]) -> DataFrame:
+    """Metadata-accelerated ``GROUP BY group_col`` aggregation of
+    ``val_col`` (COUNT/SUM/MIN/MAX): on a group-clustered layout (the
+    engine's default — rows sort by (group, order) inside each
+    partition) most chunks hold exactly ONE group, which the group
+    column's own zone stats reveal (min == max). Those chunks contribute
+    their stored count/sum/min/max directly from the metadata row;
+    only the group-BOUNDARY chunks (min < max — a handful per partition)
+    and overflow chunks (sum_val NULL) decode. At 100 TB this turns a
+    full-table GROUP BY into a metadata aggregation plus a decode of
+    ~#groups×#partitions boundary chunks.
+
+    Exactness: pruning by zone equality is a partition of the chunk set,
+    never an approximation — every chunk lands in exactly one branch and
+    both branches aggregate exactly; a final groupBy folds the two.
+    String groups use the string zone stats (ASCII ≤64 regime; chunks
+    with NULL stats take the decode branch — sound, just slower).
+    Output: (group, n_rows, n_nonnull, min_val, max_val, sum_val)."""
+    gkind, vkind = kinds[group_col], kinds[val_col]
+    g_is_str = gkind == "str"
+    glo, ghi = ("min_str", "max_str") if g_is_str else ("min_val", "max_val")
+
+    gm = blocks.filter(F.col("column") == group_col) \
+        .select("part_key", "chunk_id",
+                F.col(glo).alias("_glo"), F.col(ghi).alias("_ghi"),
+                F.col("null_count").alias("_gnulls"))
+    vm = blocks.filter(F.col("column") == val_col) \
+        .select("part_key", "chunk_id", "count", "null_count",
+                "min_val", "max_val", "sum_val")
+    meta = gm.join(vm, ["part_key", "chunk_id"])
+    # single-group = zone min == max AND no null group values (zone
+    # stats ignore nulls, so a nulls+one-value chunk would otherwise
+    # mis-attribute its rows) AND the value sum is stored (or all-null)
+    single = (F.col("_glo").isNotNull() & (F.col("_glo") == F.col("_ghi"))
+              & (F.col("_gnulls") == 0)
+              & (F.col("sum_val").isNotNull()
+                 | (F.col("count") == F.col("null_count"))))
+
+    fast = meta.filter(single).select(
+        F.col("_glo").alias(group_col),
+        F.col("count").alias("n_rows"),
+        (F.col("count") - F.col("null_count")).alias("n_nonnull"),
+        "min_val", "max_val",
+        F.coalesce("sum_val", F.lit(0)).alias("sum_val"))
+
+    # boundary/overflow chunks: decode ONLY those (left_anti on the
+    # single-group chunk ids keeps the scan filter metadata-sized)
+    fast_ids = meta.filter(single).select("part_key", "chunk_id")
+    slow_blocks = blocks.join(fast_ids, ["part_key", "chunk_id"],
+                              "left_anti")
+    g_ddl = "string" if g_is_str else _KIND_DDL[gkind]
+    dec = decode_blocks(slow_blocks, f"{group_col} {g_ddl}, "
+                        f"{val_col} {_KIND_DDL[vkind]}",
+                        kinds={group_col: gkind, val_col: vkind},
+                        columns=[group_col, val_col])
+    v = F.col(val_col)
+    if vkind in ("ts", "tsntz"):
+        v = F.unix_micros(F.to_timestamp(val_col))  # zone int64 domain
+    slow = dec.groupBy(group_col).agg(
+        F.count("*").alias("n_rows"), F.count(v).alias("n_nonnull"),
+        F.min(v).alias("min_val"), F.max(v).alias("max_val"),
+        F.coalesce(F.sum(v), F.lit(0)).alias("sum_val"))
+    if g_is_str:
+        slow = slow.withColumn(group_col, F.col(group_col).cast("string"))
+    else:
+        slow = slow.withColumn(group_col, F.col(group_col).cast("long"))
+
+    both = fast.unionByName(slow)
+    return both.groupBy(group_col).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_nonnull").alias("n_nonnull"),
+        F.min("min_val").alias("min_val"),
+        F.max("max_val").alias("max_val"),
+        F.when(F.sum("n_nonnull") > 0, F.sum("sum_val")).alias("sum_val"))
+
+
 def approx_distinct_blocks(blocks: DataFrame,
                            columns: list[str]) -> DataFrame:
     """Approximate COUNT(DISTINCT) per column from the per-chunk HLL
