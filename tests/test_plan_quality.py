@@ -131,3 +131,77 @@ def test_postings_build_is_two_planned_shuffles(spark):
     plan = _plan(textindex.build_token_postings(docs, "doc_id", "text",
                                                 vocab=["join", "scan"]))
     assert plan.count("Exchange") == 2, plan
+
+
+def test_meta_aggregate_is_metadata_only_no_payload_columns(spark, tmp_path_factory):
+    """aggregate_blocks_meta over stored blocks: the parquet scan's
+    ReadSchema carries only stat columns — block/bloom/hll payload bytes
+    never leave disk — and the plan is one partial+final agg pair."""
+    from pyspark.sql import functions as F
+    from varint_spark.aggregate import aggregate_blocks_meta
+
+    d = str(tmp_path_factory.mktemp("agg_pq"))
+    df = spark.range(4000).select(
+        F.col("id").alias("rid"), F.lit("g").alias("g"),
+        (F.col("id") * 3).alias("v"))
+    opts = EncodeOptions(num_buckets=1, chunk_rows=512, salt_span=1 << 20,
+                         group_col="g", order_col="rid")
+    encode_transcripts(df, opts, kinds={"rid": "int64", "v": "int64"}) \
+        .write.mode("overwrite").parquet(d)
+    plan = _plan(aggregate_blocks_meta(spark.read.parquet(d), ["v"]))
+    for ln in plan.splitlines():
+        if "ReadSchema" in ln:
+            assert "block" not in ln and "bloom" not in ln \
+                and "hll" not in ln and "digest" not in ln, ln
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 1, plan  # one agg shuffle, no more
+
+
+def test_phrase_search_broadcasts_candidates(spark):
+    """search_phrase's verify stage: the candidate containers join the
+    positional shards via BROADCAST (the candidate bitmap is bounded by
+    n_docs/8 bytes), and the only Exchange is the per-shard grouping —
+    never a shuffle of position payloads by anything finer than shard."""
+    from pyspark.sql import functions as F
+    from varint_spark.pipeline import textindex
+
+    docs = spark.createDataFrame(
+        [(i, "x y z" if i % 2 else "x z y") for i in range(64)],
+        "doc_id long, text string")
+    postings = textindex.build_token_postings(docs, "doc_id", "text")
+    pos = textindex.build_positional_postings(docs, "doc_id", "text")
+    postings.cache().count(), pos.cache().count()
+    plan = _plan(textindex.search_phrase(spark, postings, pos, ["x", "y"]))
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_groupby_pushdown_decodes_only_boundary_chunks(spark):
+    """groupby_agg_blocks: no per-row Python anywhere in the plan, and —
+    the data-level form of the plan claim — the decode branch receives
+    only the boundary chunks (single-group chunks are excluded by the
+    left_anti), a small fraction on the clustered layout."""
+    from pyspark.sql import functions as F
+    from varint_spark.aggregate import groupby_agg_blocks
+
+    df = spark.range(8000).select(
+        F.col("id").alias("rid"),
+        (F.col("id") / 2000).cast("long").alias("grp"),
+        (F.col("id") * 3).alias("v"))
+    opts = EncodeOptions(num_buckets=1, chunk_rows=512, salt_span=1 << 20,
+                         group_col="grp", order_col="rid")
+    kinds = {"rid": "int64", "grp": "int64", "v": "int64"}
+    blocks = encode_transcripts(
+        df.withColumn("grp", F.col("grp").cast("long")), opts,
+        kinds=kinds).cache()
+    blocks.count()
+    plan = _plan(groupby_agg_blocks(blocks, "grp", "v", kinds))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # boundary fraction: groups of 2000 over 512-row chunks -> at most
+    # one straddling chunk per group boundary
+    gm = blocks.filter(F.col("column") == "grp")
+    n_boundary = gm.filter((F.col("min_val") != F.col("max_val"))
+                           | (F.col("null_count") > 0)).count()
+    assert n_boundary <= 4, n_boundary  # 4 groups -> ≤ 3 boundaries (+1 slack)
