@@ -96,3 +96,36 @@ def encode_checkpointed(df: DataFrame, root: str,
     new_lineage.write.mode("append").parquet(str(Path(root) / "lineage"))
     done_now = new_lineage.select("part_key").distinct().count()
     return {"partitions_encoded": done_now, "partitions_skipped": skipped}
+
+
+def vacuum(spark: SparkSession, root: str, dry_run: bool = False) -> dict:
+    """Garbage-collect block partition directories that no committed
+    lineage row references — the debris a crash between the block write
+    and the lineage append leaves behind (protocol step 3 above). Normally
+    the next run's dynamic-partition overwrite replaces them, but a
+    pipeline that never re-runs (or re-runs with a narrower input) keeps
+    paying their storage forever; ``vacuum`` is the explicit reclaim, the
+    same contract as Delta/Iceberg VACUUM: only UNREFERENCED partition
+    dirs are touched, so readers of committed data are never affected.
+
+    Driver-side work is directory-listing sized (one name per partition,
+    the same budget the resume anti-join already spends). Returns
+    ``{"orphans": [...], "removed": n}``; ``dry_run`` lists without
+    deleting."""
+    import shutil
+    from urllib.parse import unquote
+
+    # Spark escapes partition values URI-style on disk (":" -> "%3A");
+    # lineage part_keys are the logical form — unquote before comparing
+    blocks_dir = Path(root) / "blocks"
+    on_disk = {unquote(p.name.split("=", 1)[1]): p
+               for p in blocks_dir.glob("pk=*") if p.is_dir()} \
+        if blocks_dir.exists() else {}
+    lin = read_lineage(spark, root)
+    committed = set() if lin is None else {
+        r.part_key for r in lin.select("part_key").distinct().collect()}
+    orphans = sorted(k for k in on_disk if k not in committed)
+    if not dry_run:
+        for k in orphans:
+            shutil.rmtree(on_disk[k])
+    return {"orphans": orphans, "removed": 0 if dry_run else len(orphans)}
