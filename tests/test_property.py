@@ -174,3 +174,73 @@ def test_zone_str_min_is_lower_bound(s):
         assert mn <= s and len(mn) <= ZONE_STR_MAX
     if mx is not None:
         assert mx >= s  # stored max never under-bounds
+
+
+# ---- r6 sidecar/stat kernels -------------------------------------------------
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(I64, max_size=400))
+def test_exact_sum_matches_python_ints(vals):
+    import numpy as np
+    from varint_spark.engine import _exact_sum
+
+    v = np.array(vals, dtype=np.int64)
+    true = sum(int(x) for x in vals)
+    got = _exact_sum(v)
+    if -(1 << 63) <= true < (1 << 63):
+        assert got == true
+    else:
+        assert got is None  # never a silently wrapped number
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(I64, min_size=1, max_size=300),
+       st.lists(I64, max_size=100))
+def test_bloom_no_false_negatives_property(members, probes):
+    import numpy as np
+    from varint_spark import bloom
+
+    mv = np.array(members, dtype=np.int64)
+    sc = bloom.build(bloom.hash_ints(mv), bits_per_value=10)
+    for x in members:
+        assert bloom.might_contain(sc, bloom.probe_hash(int(x), "int64"))
+    # probes may be members or not: the only asserted direction is that
+    # "definitely absent" is never claimed for a member (checked above)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(I64, max_size=300), st.lists(I64, max_size=300))
+def test_hll_merge_is_union_build(a, b):
+    import numpy as np
+    from varint_spark import bloom, hll
+
+    av = np.array(a, dtype=np.int64)
+    bv = np.array(b, dtype=np.int64)
+    sa = hll.build(bloom.hash_ints(av), p=10)
+    sb = hll.build(bloom.hash_ints(bv), p=10)
+    union = hll.build(bloom.hash_ints(np.concatenate([av, bv])), p=10)
+    assert hll.merge(sa, sb) == union == hll.merge(sb, sa)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 65535), st.integers(0, 10000)),
+                min_size=1, max_size=300))
+def test_pos_block_roundtrip_property(pairs):
+    import pyarrow as pa
+    from varint_spark.pipeline.textindex import (_encode_pos_group,
+                                                 decode_pos_block)
+
+    uniq = sorted(set(pairs))
+    lows = [p[0] for p in uniq]
+    ps = [p[1] for p in uniq]
+    t = pa.table({"token": ["t"] * len(uniq), "shard": [0] * len(uniq),
+                  "low": lows, "pos": ps})
+    blob = _encode_pos_group(None, t).column("pos_block")[0].as_py()
+    docs, counts, pos = decode_pos_block(blob)
+    rebuilt = []
+    k = 0
+    for d, c in zip(docs.tolist(), counts.tolist()):
+        for _ in range(c):
+            rebuilt.append((d, int(pos[k])))
+            k += 1
+    assert rebuilt == uniq
