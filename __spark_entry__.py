@@ -1226,6 +1226,34 @@ def _q_text_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ["key", "scan", "query"])
 
 
+def _q_text_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance — the rolling-crawl shape: documents
+    arrive in two batches (doc_id parity split), each batch builds its own
+    doc-granular AND positional postings, and the batches merge WITHOUT
+    re-reading the old batch's text (textindex.merge_token_postings /
+    merge_positional_postings — container-level OR per token; per-shard
+    (doc, pos) set union re-encoded canonically, byte-identical to a full
+    rebuild, pytest-pinned). The phrase query then runs on the MERGED
+    index; the oracle replays adjacency from the full raw corpus, so any
+    merge defect (lost batch, double-counted doc, broken canonical form)
+    goes red on values."""
+    from varint_spark.pipeline import textindex
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = ["key", "scan"]
+    old_b = docs.filter(F.col("doc_id") % 2 == 0)
+    new_b = docs.filter(F.col("doc_id") % 2 == 1)
+    postings = textindex.merge_token_postings(
+        textindex.build_token_postings(old_b, "doc_id", "text", vocab=vocab),
+        textindex.build_token_postings(new_b, "doc_id", "text", vocab=vocab))
+    pos = textindex.merge_positional_postings(
+        textindex.build_positional_postings(
+            old_b, "doc_id", "text", vocab=vocab),
+        textindex.build_positional_postings(
+            new_b, "doc_id", "text", vocab=vocab))
+    return textindex.search_phrase(spark, postings, pos, ["key", "scan"])
+
+
 def _q_text_search_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered proximity retrieval (NEAR/slop): 'key … scan … query' with
     every consecutive gap ≤ 3 token positions — the vectorized position
@@ -1647,6 +1675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_tokens": _q_vocab_top,
         "pipeline_dedup_quality_lang": _q_pipeline_compose,
         "source_roundtrip_jsonl": _q_jsonl_roundtrip,
+        "text_index_incremental": _q_text_index_incremental,
     }
 
 
@@ -2139,6 +2168,13 @@ def oracle_sql() -> dict[str, str]:
             " CAST(SUM(doc_id) AS BIGINT) AS sum_ids,"
             " CAST(SUM(length(text)) AS BIGINT) AS sum_chars"
             " FROM documents GROUP BY source"
+        ),
+        # merge correctness replayed from the FULL raw corpus: the
+        # batch-split build + merge must reproduce exactly the docs where
+        # 'key scan' are adjacent tokens
+        "text_index_incremental": (
+            "SELECT doc_id FROM documents"
+            r" WHERE regexp_matches(text, '(^|\s)key\s+scan(\s|$)')"
         ),
         # the composed pipeline replayed in SQL: ROW_NUMBER dedup, same
         # feature expressions, same filter, same aggregation

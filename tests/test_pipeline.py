@@ -904,3 +904,50 @@ def test_near_search(spark, docs):
     assert set(s1) <= set(s5)
     with pytest.raises(ValueError, match="slop"):
         textindex.search_near(spark, postings, pos, ["key"], slop=0)
+
+
+def test_incremental_postings_merge_equals_rebuild(spark, docs):
+    """Rolling-crawl index maintenance: build per-batch postings, merge,
+    and the result is BYTE-identical to a from-scratch build over the
+    union corpus — for both the doc-granular bitmaps and the positional
+    blocks. The old batch's text is never re-read (only its postings),
+    and merged indexes answer queries identically to rebuilt ones."""
+    from varint_spark.pipeline import textindex
+
+    vocab = ["key", "scan", "join", "filter", "a"]
+    old_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    new_docs = docs.filter(F.col("doc_id") % 2 == 1)
+
+    full = {r.token: bytes(r.posting) for r in textindex.build_token_postings(
+        docs, "doc_id", "text", vocab=vocab).collect()}
+    merged_df = textindex.merge_token_postings(
+        textindex.build_token_postings(old_docs, "doc_id", "text", vocab=vocab),
+        textindex.build_token_postings(new_docs, "doc_id", "text", vocab=vocab))
+    merged = {r.token: bytes(r.posting) for r in merged_df.collect()}
+    assert merged == full and len(full) == len(vocab)
+
+    full_pos = {(r.token, r.shard): bytes(r.pos_block)
+                for r in textindex.build_positional_postings(
+                    docs, "doc_id", "text", vocab=vocab).collect()}
+    merged_pos_df = textindex.merge_positional_postings(
+        textindex.build_positional_postings(
+            old_docs, "doc_id", "text", vocab=vocab),
+        textindex.build_positional_postings(
+            new_docs, "doc_id", "text", vocab=vocab))
+    merged_pos = {(r.token, r.shard): bytes(r.pos_block)
+                  for r in merged_pos_df.collect()}
+    assert merged_pos == full_pos
+
+    # a token present in only one batch must survive the merge verbatim
+    only_old = textindex.build_token_postings(
+        old_docs, "doc_id", "text", vocab=["key"])
+    empty = spark.createDataFrame([], "token string, posting binary")
+    kept = {r.token: bytes(r.posting) for r in
+            textindex.merge_token_postings(only_old, empty).collect()}
+    assert kept == {r.token: bytes(r.posting) for r in only_old.collect()}
+
+    # merged index answers a phrase query identically to the rebuilt one
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    got = sorted(r.doc_id for r in textindex.search_phrase(
+        spark, merged_df, merged_pos_df, ["key", "scan"]).collect())
+    assert got == _phrase_ids(texts, ["key", "scan"])

@@ -267,6 +267,59 @@ def _verify_phrase(offsets: dict[str, list[int]]):
     return fn, n_slots
 
 
+def merge_token_postings(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Incremental index maintenance: fold a NEW batch's postings into an
+    existing index — the rolling-crawl shape (same contract as
+    dedup.minhash_incremental_pairs: the old corpus text is never
+    re-read, only its postings). Container-level OR per token, fully
+    distributed; because the serialized form is canonical, merging
+    batch-built postings is byte-identical to building from the union
+    corpus (tested), so merged indexes keep the determinism invariant."""
+    from ..bitmap_index import _merge_partials
+
+    u = old.unionByName(new).withColumnRenamed("posting", "bitmap")
+    return u.groupBy("token").applyInArrow(
+        _merge_partials, "token string, bitmap binary") \
+        .withColumnRenamed("bitmap", "posting")
+
+
+def _merge_pos_group(key, table):
+    # (token, shard) grouped-map: decode every batch's block, unique the
+    # (low, pos) pairs, re-encode — lands on the same canonical bytes as
+    # a from-scratch build over the union corpus
+    from ..selector import encode_int_block
+
+    lows_all, pos_all = [], []
+    for blob in table.column("pos_block").to_pylist():
+        docs, counts, pos = decode_pos_block(blob)
+        lows_all.append(np.repeat(docs, counts))
+        pos_all.append(pos)
+    lows = np.concatenate(lows_all)
+    pos = np.concatenate(pos_all)
+    pairs = np.unique(np.stack([lows, pos], axis=1), axis=0)
+    lows, pos = pairs[:, 0], pairs[:, 1]
+    docs, counts = np.unique(lows, return_counts=True)
+    blob = (blocks.put_uvarint(len(docs))
+            + blocks.put_sub(encode_int_block(docs))
+            + blocks.put_sub(encode_int_block(counts.astype(np.int64)))
+            + blocks.put_sub(encode_int_block(pos)))
+    return pa.table({
+        "token": table.column("token").slice(0, 1),
+        "shard": table.column("shard").slice(0, 1),
+        "pos_block": pa.array([blob], type=pa.binary()),
+    })
+
+
+def merge_positional_postings(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Positional twin of :func:`merge_token_postings`: per (token,
+    64Ki shard), the batches' (doc, position) pair sets union and
+    re-encode canonically — byte-identical to a full rebuild (tested),
+    old corpus text never re-read."""
+    u = old.unionByName(new)
+    return u.groupBy("token", "shard").applyInArrow(
+        _merge_pos_group, _POS_DDL)
+
+
 def _verify_near(tokens: list[str], slop: int):
     """Grouped-map factory for ordered proximity: doc matches iff there
     exist positions p1 < … < pm of the query tokens in order with each
