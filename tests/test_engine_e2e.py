@@ -284,3 +284,39 @@ def test_decode_missing_column_schema_evolution(spark, small_transcripts):
     # verify=True skips digest checks only for the absent columns
     assert decode_blocks(blocks, ddl, missing_ok=True,
                          verify=True).count() == narrow.count()
+
+
+def test_timestamp_order_column_salting(spark, small_transcripts):
+    """A TIMESTAMP/TIMESTAMP_NTZ order column must be usable directly as
+    order_col (the deployment surface hit CAST_WITHOUT_SUGGESTION on NTZ):
+    salt derives from epoch seconds (salt_span = seconds per salt group),
+    stays deterministic across parallelism, and the roundtrip is exact."""
+    from varint_spark.engine import with_partition_keys
+
+    df = small_transcripts.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    opts = EncodeOptions(num_buckets=4, chunk_rows=512, salt_span=3600,
+                         order_col="ts")
+    blocks = encode_transcripts(df, opts).cache()
+    ddl = ("conv_id string, turn_idx int, role string, text string, "
+           "tool string, ts timestamp_ntz")
+    decoded = decode_blocks(blocks, ddl)
+    left = _sorted_pdf(df.select(*decoded.columns))
+    right = _sorted_pdf(decoded)
+    pd.testing.assert_frame_equal(left, right)
+
+    # salt = epoch_seconds DIV span, identical at any parallelism
+    k1 = with_partition_keys(df.repartition(3), opts)
+    k2 = with_partition_keys(df.repartition(11), opts)
+    expect = df.selectExpr(
+        "conv_id", "turn_idx",
+        "CAST((unix_micros(to_timestamp(ts)) DIV 1000000) DIV 3600 AS INT)"
+        " AS want")
+    for keyed in (k1, k2):
+        bad = keyed.join(expect, ["conv_id", "turn_idx"]) \
+            .filter(F.col("_salt") != F.col("want")).count()
+        assert bad == 0
+
+    # tz-aware timestamps take the same path
+    aware = small_transcripts.withColumn("ts", F.col("ts").cast("timestamp"))
+    assert with_partition_keys(aware, opts).filter(
+        F.col("_salt").isNull()).count() == 0

@@ -328,12 +328,25 @@ def make_encode_udf(kinds: dict[str, str], chunk_rows: int, group_col: str,
 def with_partition_keys(df: DataFrame, opts: EncodeOptions) -> DataFrame:
     """Deterministic partition keys: bucket = pmod(hash(conv_id), B); salt
     splits any conversation longer than salt_span (no pre-count, no extra
-    shuffle — cold conversations always get salt 0)."""
+    shuffle — cold conversations always get salt 0).
+
+    Timestamp order columns (TIMESTAMP / TIMESTAMP_NTZ — Spark refuses a
+    direct bigint cast on the latter) salt by epoch SECONDS, so salt_span
+    reads as "seconds per salt group"; NTZ goes through to_timestamp under
+    the UTC-pinned session TZ, keeping the salt a deterministic function
+    of the stored value."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    if isinstance(df.schema[opts.order_col].dataType,
+                  (TimestampType, TimestampNTZType)):
+        order_sql = f"(unix_micros(to_timestamp({opts.order_col})) DIV 1000000)"
+    else:
+        # integer DIV (not double /): exact for the full int64 domain
+        order_sql = f"CAST({opts.order_col} AS BIGINT)"
     return df.withColumn(
         "_bucket", F.pmod(F.hash(F.col(opts.group_col)), F.lit(opts.num_buckets)).cast("int")
     ).withColumn(
-        # integer DIV (not double /): exact for the full int64 domain
-        "_salt", F.expr(f"CAST(CAST({opts.order_col} AS BIGINT) DIV {opts.salt_span} AS INT)")
+        "_salt", F.expr(f"CAST({order_sql} DIV {opts.salt_span} AS INT)")
     )
 
 
