@@ -1643,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search_postings": _q_text_search,
         "text_search_boolean": _q_text_search_boolean,
         "dedup_incremental": _q_dedup_incremental,
+        "text_index_incremental": _q_text_index_incremental,
         "roundtrip_events": _rt("events", "user_id", "event_id"),
         "roundtrip_orders": _rt("orders", "o_custkey", "o_orderkey"),
         "roundtrip_lineitem": _rt("lineitem", "l_orderkey", "l_linenumber"),
@@ -1675,7 +1676,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_tokens": _q_vocab_top,
         "pipeline_dedup_quality_lang": _q_pipeline_compose,
         "source_roundtrip_jsonl": _q_jsonl_roundtrip,
-        "text_index_incremental": _q_text_index_incremental,
     }
 
 
