@@ -1226,6 +1226,34 @@ def _q_text_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ["key", "scan", "query"])
 
 
+def _q_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE via deletion vectors — the Delta/Iceberg-v3
+    sidecar design through the engine's OWN Roaring-style bitmap codec
+    (varint_spark.deletes; ref src/varintBitmap.c containers): two
+    deletes (string-eq on the dictionary-encoded event_type, an id range
+    on the FOR/PFOR-encoded event_id) are each evaluated on the ENCODED
+    form (zero shuffle, predicate column's blocks only), merged by
+    container-level OR on the serialized vectors (canonical bytes — merge
+    order invisible), and applied executor-side inside the decode UDF.
+    No payload block is rewritten; the oracle replays both predicates as
+    plain WHERE NOT, so a wrong offset anywhere goes red on values."""
+    from varint_spark.deletes import delete_where, merge_dv
+    from varint_spark.engine import (EncodeOptions, decode_blocks,
+                                     encode_transcripts)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type")
+    opts = EncodeOptions(num_buckets=4, chunk_rows=1024, salt_span=1 << 30,
+                         group_col="user_id", order_col="event_id")
+    kinds = {"event_id": "int64", "user_id": "int64", "event_type": "str"}
+    blocks = encode_transcripts(ev, opts, kinds=kinds).cache()
+    dv = merge_dv(delete_where(blocks, "event_type", kind="str", eq="click"),
+                  delete_where(blocks, "event_id", lo=100, hi=1999))
+    return decode_blocks(blocks,
+                         "event_id long, user_id long, event_type string",
+                         kinds=kinds, deletes=dv)
+
+
 def _q_text_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance — the rolling-crawl shape: documents
     arrive in two batches (doc_id parity split), each batch builds its own
@@ -1644,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search_boolean": _q_text_search_boolean,
         "dedup_incremental": _q_dedup_incremental,
         "text_index_incremental": _q_text_index_incremental,
+        "delete_vectors": _q_delete_vectors,
         "roundtrip_events": _rt("events", "user_id", "event_id"),
         "roundtrip_orders": _rt("orders", "o_custkey", "o_orderkey"),
         "roundtrip_lineitem": _rt("lineitem", "l_orderkey", "l_linenumber"),
@@ -2175,6 +2204,12 @@ def oracle_sql() -> dict[str, str]:
         "text_index_incremental": (
             "SELECT doc_id FROM documents"
             r" WHERE regexp_matches(text, '(^|\s)key\s+scan(\s|$)')"
+        ),
+        # both deletes replayed as plain WHERE NOT
+        "delete_vectors": (
+            "SELECT event_id, user_id, event_type FROM events"
+            " WHERE NOT (event_type = 'click')"
+            "   AND NOT (event_id BETWEEN 100 AND 1999)"
         ),
         # the composed pipeline replayed in SQL: ROW_NUMBER dedup, same
         # feature expressions, same filter, same aggregation

@@ -422,6 +422,10 @@ def make_decode_udf(kinds: dict[str, str], out_ddl_cols: list[str], shared=None,
                                     kinds[col])
             for col in out_ddl_cols
         ]
+        if "_dv" in table.column_names:  # deletion vector rides the join
+            from .deletes import apply_dv_mask
+            dv = table.column("_dv")[0].as_py()
+            arrays = apply_dv_mask(arrays, n, dv)
         return pa.Table.from_arrays(arrays, names=out_ddl_cols)
 
     return decode_group
@@ -445,7 +449,8 @@ def kinds_for_ddl(schema_ddl: str) -> dict[str, str]:
 
 def decode_blocks(blocks: DataFrame, schema_ddl: str, kinds: dict[str, str] | None = None,
                   shared=None, columns: list[str] | None = None,
-                  verify: bool = False, missing_ok: bool = False) -> DataFrame:
+                  verify: bool = False, missing_ok: bool = False,
+                  deletes: DataFrame | None = None) -> DataFrame:
     """Encoded block rows -> original rows (order-insensitive).
 
     ``columns``: optional projection — only those columns' blocks are read
@@ -458,12 +463,20 @@ def decode_blocks(blocks: DataFrame, schema_ddl: str, kinds: dict[str, str] | No
     written) decode as typed NULLs instead of failing, so one reader
     schema spans old and new epochs; the caller applies defaults with
     ``coalesce``. Columns REMOVED from the reader schema need no flag —
-    that's the ``columns=`` projection."""
+    that's the ``columns=`` projection.
+
+    ``deletes``: optional deletion-vector table (varint_spark.deletes) —
+    DV-named row offsets are dropped executor-side inside the decode UDF;
+    the join is chunk-keyed against a metadata-sized table (AQE
+    broadcasts it), so deleted rows are never materialized anywhere."""
     fields = [f.strip() for f in schema_ddl.split(",")]
     if columns:
         fields = [f for f in fields if f.split()[0] in set(columns)]
         schema_ddl = ", ".join(fields)
         blocks = blocks.filter(F.col("column").isin(list(columns)))
+    if deletes is not None:
+        from .deletes import join_dv
+        blocks = join_dv(blocks, deletes)
     cols = [f.split()[0] for f in fields]
     kinds = kinds or kinds_for_ddl(schema_ddl)
     fn = make_decode_udf(kinds, cols, shared, verify, missing_ok)
@@ -569,7 +582,8 @@ def compact_blocks(blocks: DataFrame, schema_ddl: str, target_chunk_rows: int,
                    f64_precision: str | None = None,
                    f32_precision: str | None = None,
                    bloom_cols: tuple = (), bloom_bits: int = 10,
-                   hll_cols: tuple = (), hll_p: int = 12) -> DataFrame:
+                   hll_cols: tuple = (), hll_p: int = 12,
+                   deletes: DataFrame | None = None) -> DataFrame:
     """Chunk compaction — the small-chunks maintenance pass a long-lived
     block store needs (streaming epochs and fine-grained encodes leave
     sub-optimal chunks; bigger chunks amortize headers and widen
@@ -583,11 +597,20 @@ def compact_blocks(blocks: DataFrame, schema_ddl: str, target_chunk_rows: int,
     through the same selector/cost gate — compacting at the ORIGINAL
     chunk size is a byte-identical no-op (tested), the block-bytes
     determinism invariant holds by construction. Pass ``group_col`` to
-    recompute segment restarts for the segment-aware delta codec."""
+    recompute segment restarts for the segment-aware delta codec.
+
+    ``deletes``: optional deletion-vector table (varint_spark.deletes) —
+    the fold-in pass: DV-named rows are dropped before re-chunking, so
+    the rewritten store carries no vectors and the caller retires them.
+    Determinism holds: surviving rows are a pure function of (blocks,
+    deletes), so the fold-in re-encode is byte-deterministic too."""
     kinds = kinds or kinds_for_ddl(schema_ddl)
     if target_chunk_rows <= 0:
         raise ValueError(f"target_chunk_rows must be positive, got {target_chunk_rows}")
     cols = list(kinds)
+    if deletes is not None:
+        from .deletes import join_dv
+        blocks = join_dv(blocks, deletes)
 
     def fn(key, table):
         part_key = key[0].as_py()
@@ -595,6 +618,11 @@ def compact_blocks(blocks: DataFrame, schema_ddl: str, target_chunk_rows: int,
         names = table.column("column").to_pylist()
         cids = table.column("chunk_id").to_pylist()
         blks = table.column("block").to_pylist()
+        dv_by_chunk: dict[int, bytes] = {}
+        if "_dv" in table.column_names:
+            for cid, dv in zip(cids, table.column("_dv").to_pylist()):
+                if dv is not None:
+                    dv_by_chunk[cid] = dv
         per_col: dict[str, list] = {c: [] for c in cols}
         for nm, cid, b in zip(names, cids, blks):
             if nm in per_col:
@@ -610,6 +638,10 @@ def compact_blocks(blocks: DataFrame, schema_ddl: str, target_chunk_rows: int,
             sc = (shared_cols or {}).get(col)
             chunks = [_decoded_to_output(decode_column(b, sc), kinds[col])
                       for _, b in parts]
+            if dv_by_chunk:
+                from .deletes import apply_dv_mask
+                chunks = [apply_dv_mask([a], len(a), dv_by_chunk.get(cid))[0]
+                          for (cid, _), a in zip(parts, chunks)]
             arrs[col] = pa.concat_arrays(chunks) if len(chunks) > 1 else chunks[0]
         n = len(arrs[cols[0]])
         out: list[dict] = []
