@@ -1226,6 +1226,44 @@ def _q_text_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ["key", "scan", "query"])
 
 
+def _q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot (time-travel) reads over the commit log
+    (varint_spark.lineage): commit 1 encodes batch A (event_id < 512,
+    salt-aligned), commit 2 deletes A's 'error' rows via a checkpointed
+    deletion vector, commit 3 appends the rest of the table. The query
+    returns snapshot v2 ∪ latest — v2 must show A minus errors and the
+    latest must KEEP batch-B errors (the commit-2 delete predates them),
+    so both the version filter and the delete/append ordering are
+    value-checked against an oracle that replays the history in SQL."""
+    import tempfile
+
+    from varint_spark.deletes import delete_where
+    from varint_spark.engine import EncodeOptions
+    from varint_spark.lineage import (delete_checkpointed,
+                                      encode_checkpointed, read_blocks,
+                                      read_snapshot)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type")
+    opts = EncodeOptions(num_buckets=4, chunk_rows=256, salt_span=512,
+                         group_col="user_id", order_col="event_id")
+    kinds = {"event_id": "int64", "user_id": "int64", "event_type": "str"}
+    ddl = "event_id long, user_id long, event_type string"
+    root = tempfile.mkdtemp(prefix="vs_tt_store_")
+
+    encode_checkpointed(ev.filter(F.col("event_id") < 512), root, opts,
+                        kinds=kinds)                              # commit 1
+    blocks = read_blocks(spark, root).drop("pk")
+    delete_checkpointed(
+        delete_where(blocks, "event_type", kind="str", eq="error"),
+        root)                                                     # commit 2
+    encode_checkpointed(ev, root, opts, kinds=kinds)              # commit 3
+    v2 = read_snapshot(spark, root, ddl, as_of=2, kinds=kinds)
+    latest = read_snapshot(spark, root, ddl, kinds=kinds)
+    return v2.withColumn("snap", F.lit(2)).unionByName(
+        latest.withColumn("snap", F.lit(3)))
+
+
 def _q_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level DELETE via deletion vectors — the Delta/Iceberg-v3
     sidecar design through the engine's OWN Roaring-style bitmap codec
@@ -1673,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_dedup_incremental,
         "text_index_incremental": _q_text_index_incremental,
         "delete_vectors": _q_delete_vectors,
+        "time_travel": _q_time_travel,
         "roundtrip_events": _rt("events", "user_id", "event_id"),
         "roundtrip_orders": _rt("orders", "o_custkey", "o_orderkey"),
         "roundtrip_lineitem": _rt("lineitem", "l_orderkey", "l_linenumber"),
@@ -2210,6 +2249,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, event_type FROM events"
             " WHERE NOT (event_type = 'click')"
             "   AND NOT (event_id BETWEEN 100 AND 1999)"
+        ),
+        # the commit history replayed in SQL: v2 = batch A minus its
+        # errors; latest = that plus batch B with B's errors KEPT
+        "time_travel": (
+            "SELECT event_id, user_id, event_type, 2 AS snap FROM events"
+            " WHERE event_id < 512 AND event_type <> 'error'"
+            " UNION ALL"
+            " SELECT event_id, user_id, event_type, 3 AS snap FROM events"
+            " WHERE (event_id < 512 AND event_type <> 'error')"
+            "    OR event_id >= 512"
         ),
         # the composed pipeline replayed in SQL: ROW_NUMBER dedup, same
         # feature expressions, same filter, same aggregation

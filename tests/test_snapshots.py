@@ -1,0 +1,104 @@
+"""Commit log + snapshot (time-travel) reads: one monotonically
+increasing commit counter over encode runs and delete-log appends;
+read_snapshot(as_of=v) reproduces the table exactly at any version of an
+append+delete history."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from varint_spark.deletes import delete_where
+from varint_spark.engine import EncodeOptions
+from varint_spark.lineage import (delete_checkpointed, encode_checkpointed,
+                                  read_blocks, read_lineage, read_snapshot)
+
+DDL = "event_id bigint, g bigint, v bigint"
+OPTS = EncodeOptions(num_buckets=2, chunk_rows=128, salt_span=512,
+                     group_col="g", order_col="event_id")
+
+
+def _batch(spark, lo, hi):
+    ids = np.arange(lo, hi, dtype=np.int64)
+    pdf = pd.DataFrame({"event_id": ids, "g": ids % 5,
+                        "v": (ids * 37) % 1000})
+    return spark.createDataFrame(pdf)
+
+
+def _pdf(df):
+    return df.toPandas().sort_values("event_id").reset_index(drop=True)
+
+
+def test_snapshot_history(spark, tmp_path):
+    root = str(tmp_path / "store")
+    # batches aligned to the salt span (512): appends must land in NEW
+    # part_keys — the resume anti-join skips committed partitions, so an
+    # append overlapping one would be silently dropped (documented
+    # contract of encode_checkpointed)
+    a = _batch(spark, 0, 1024)
+
+    r1 = encode_checkpointed(a, root, OPTS)
+    assert r1["commit"] == 1
+
+    # commit 2: delete v in [0, 99] from the committed store
+    blocks = read_blocks(spark, root).drop("pk")
+    r2 = delete_checkpointed(delete_where(blocks, "v", lo=0, hi=99), root)
+    assert r2["commit"] == 2 and r2["rows_deleted"] > 0
+
+    # commit 3: append batch B (new salts => new part_keys; A skipped)
+    b = _batch(spark, 1024, 2048)
+    r3 = encode_checkpointed(a.unionByName(b), root, OPTS)
+    assert r3["commit"] == 3 and r3["partitions_skipped"] > 0
+
+    # commit 4: a second delete that touches batch B
+    blocks = read_blocks(spark, root).drop("pk")
+    r4 = delete_checkpointed(
+        delete_where(blocks, "event_id", lo=1500, hi=1599), root)
+    assert r4["commit"] == 4
+
+    del1 = F.col("v").between(0, 99)
+    del2 = F.col("event_id").between(1500, 1599)
+    # true snapshot semantics: the commit-2 delete never touches batch-B
+    # rows (they did not exist yet), even ones whose v matches del1
+    expect = {
+        1: a,
+        2: a.filter(~del1),
+        3: a.filter(~del1).unionByName(b),
+        4: a.filter(~del1).unionByName(b).filter(~del2),
+    }
+    for v, want in expect.items():
+        got = read_snapshot(spark, root, DDL, as_of=v)
+        pd.testing.assert_frame_equal(_pdf(got), _pdf(want)), v
+    # latest == highest commit
+    pd.testing.assert_frame_equal(
+        _pdf(read_snapshot(spark, root, DDL)), _pdf(expect[4]))
+    # as_of before the first commit: no partitions
+    assert read_snapshot(spark, root, DDL, as_of=0).count() == 0
+
+
+def test_pre_commit_store_reads_as_commit_zero(spark, tmp_path):
+    """Backward compat: a lineage written before commit tagging (no
+    commit column) reads as commit 0 and stays snapshot-readable."""
+    root = str(tmp_path / "store")
+    a = _batch(spark, 0, 500)
+    encode_checkpointed(a, root, OPTS)
+    # rewrite the lineage without the commit column (the old format)
+    lin = read_lineage(spark, root).drop("commit").toPandas()
+    import shutil
+    shutil.rmtree(f"{root}/lineage")
+    spark.createDataFrame(lin).write.parquet(f"{root}/lineage")
+
+    assert read_lineage(spark, root).agg(F.max("commit")).first()[0] == 0
+    pd.testing.assert_frame_equal(
+        _pdf(read_snapshot(spark, root, DDL, as_of=0)), _pdf(a))
+    # the next write continues the history at commit 1
+    b = _batch(spark, 500, 1000)
+    r = encode_checkpointed(a.unionByName(b), root, OPTS)
+    assert r["commit"] == 1
+
+
+def test_snapshot_missing_store(spark, tmp_path):
+    with pytest.raises(ValueError, match="no committed lineage"):
+        read_snapshot(spark, str(tmp_path / "nope"), DDL)

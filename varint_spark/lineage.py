@@ -51,7 +51,13 @@ def read_lineage(spark: SparkSession, root: str) -> DataFrame | None:
     p = Path(root) / "lineage"
     if not p.exists() or not any(p.glob("*.parquet")):
         return None
-    return spark.read.parquet(str(p))
+    # mergeSchema: stores written before commit tagging mix files with and
+    # without the commit column; absent values read as commit 0 (the
+    # pre-history epoch), so old stores stay snapshot-readable
+    lin = spark.read.option("mergeSchema", "true").parquet(str(p))
+    if "commit" not in lin.columns:
+        lin = lin.withColumn("commit", F.lit(0))
+    return lin.withColumn("commit", F.coalesce(F.col("commit"), F.lit(0)))
 
 
 def read_blocks(spark: SparkSession, root: str) -> DataFrame:
@@ -62,7 +68,15 @@ def encode_checkpointed(df: DataFrame, root: str,
                         opts: EncodeOptions = EncodeOptions(),
                         kinds: dict[str, str] | None = None, shared=None) -> dict:
     """Encode ``df`` into <root>, skipping partitions already committed to
-    lineage. Returns a summary dict (partitions done/skipped)."""
+    lineage. Returns a summary dict (partitions done/skipped + the commit
+    id this run was tagged with).
+
+    Append contract: rows landing in an ALREADY-COMMITTED (bucket, salt)
+    partition are skipped with it — resume semantics assume the input is
+    the same table re-run. Appends must map to NEW part_keys, which
+    time-ordered data does naturally (a growing order column yields fresh
+    salt groups); align batch boundaries to ``salt_span`` to keep a batch
+    from straddling a committed salt group."""
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -92,10 +106,12 @@ def encode_checkpointed(df: DataFrame, root: str,
         new_blocks = new_blocks.join(
             F.broadcast(lin.select("part_key").distinct()), on="part_key", how="left_anti"
         )
-    new_lineage = lineage_summary(new_blocks)
+    commit = next_commit(spark, root)
+    new_lineage = lineage_summary(new_blocks).withColumn("commit", F.lit(commit))
     new_lineage.write.mode("append").parquet(str(Path(root) / "lineage"))
     done_now = new_lineage.select("part_key").distinct().count()
-    return {"partitions_encoded": done_now, "partitions_skipped": skipped}
+    return {"partitions_encoded": done_now, "partitions_skipped": skipped,
+            "commit": commit}
 
 
 def vacuum(spark: SparkSession, root: str, dry_run: bool = False) -> dict:
@@ -129,3 +145,91 @@ def vacuum(spark: SparkSession, root: str, dry_run: bool = False) -> dict:
         for k in orphans:
             shutil.rmtree(on_disk[k])
     return {"orphans": orphans, "removed": 0 if dry_run else len(orphans)}
+
+
+# ---------------------------------------------------------------------------
+# Commit log + snapshot (time-travel) reads
+#
+# One monotonically increasing commit counter covers BOTH kinds of table
+# change: encode runs (lineage rows tagged `commit`) and row-level deletes
+# (delete-log rows tagged `commit`). A snapshot at version v is therefore
+# exact for append+delete histories: the partitions whose lineage commit
+# is <= v, minus the deletion vectors whose commit is <= v. Re-encoding an
+# EXISTING part_key (dynamic overwrite) physically replaces its bytes, so
+# history before the overwrite is not reconstructable for that partition —
+# the documented Iceberg-without-Iceberg limit of this plain-parquet layout.
+
+
+def next_commit(spark: SparkSession, root: str) -> int:
+    """1 + the highest commit across the lineage and the delete log —
+    driver work is two metadata-sized maxes."""
+    mx = 0
+    lin = read_lineage(spark, root)
+    if lin is not None:
+        mx = lin.agg(F.max("commit")).first()[0] or 0
+    log = read_delete_log(spark, root)
+    if log is not None:
+        mx = max(mx, log.agg(F.max("commit")).first()[0] or 0)
+    return mx + 1
+
+
+def read_delete_log(spark: SparkSession, root: str) -> DataFrame | None:
+    p = Path(root) / "deletes"
+    if not p.exists() or not any(p.glob("*.parquet")):
+        return None
+    return spark.read.parquet(str(p))
+
+
+def delete_checkpointed(dv: DataFrame, root: str) -> dict:
+    """Commit a deletion-vector table (varint_spark.deletes.delete_where /
+    merge_dv output) to <root>/deletes, tagged with the next commit id.
+    Append-only — vectors are merged at read time (canonical OR), so a
+    crash mid-append at worst leaves a torn parquet file that Spark
+    refuses to read, never a half-applied delete."""
+    spark = dv.sparkSession
+    commit = next_commit(spark, root)
+    tagged = dv.withColumn("commit", F.lit(commit))
+    tagged.write.mode("append").parquet(str(Path(root) / "deletes"))
+    stats = tagged.agg(F.count("*"), F.sum("n_deleted")).first()
+    return {"commit": commit, "chunks": stats[0],
+            "rows_deleted": stats[1] or 0}
+
+
+def read_deletes(spark: SparkSession, root: str,
+                 as_of: int | None = None) -> DataFrame | None:
+    """The merged deletion-vector state at version ``as_of`` (latest when
+    None): one vector per touched chunk, commits OR-folded container-level
+    (varint_spark.deletes.merge_dv)."""
+    from .deletes import merge_dv
+
+    log = read_delete_log(spark, root)
+    if log is None:
+        return None
+    if as_of is not None:
+        log = log.filter(F.col("commit") <= as_of)
+    return merge_dv(log.drop("commit"))
+
+
+def read_snapshot(spark: SparkSession, root: str, schema_ddl: str,
+                  as_of: int | None = None,
+                  kinds: dict[str, str] | None = None, shared=None,
+                  columns: list[str] | None = None,
+                  missing_ok: bool = False) -> DataFrame:
+    """Decode the table as of commit ``as_of`` (latest when None):
+    committed partitions with lineage commit <= as_of, minus deletion
+    vectors with commit <= as_of. The partition filter is a broadcast
+    semi-join against metadata; everything else is the ordinary
+    distributed decode path."""
+    from .engine import decode_blocks
+
+    lin = read_lineage(spark, root)
+    if lin is None:
+        raise ValueError(f"no committed lineage under {root!r}")
+    if as_of is not None:
+        lin = lin.filter(F.col("commit") <= as_of)
+    part_keys = lin.select("part_key").distinct()
+    blocks = read_blocks(spark, root).drop("pk").join(
+        F.broadcast(part_keys), on="part_key", how="left_semi")
+    dv = read_deletes(spark, root, as_of=as_of)
+    return decode_blocks(blocks, schema_ddl, kinds=kinds, shared=shared,
+                         columns=columns, missing_ok=missing_ok, deletes=dv)
