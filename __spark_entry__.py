@@ -1264,6 +1264,45 @@ def _q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         latest.withColumn("snap", F.lit(3)))
 
 
+def _q_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPSERT (lineage.upsert_checkpointed — the MERGE INTO
+    shape without payload rewrites): commit 1 encodes the events table;
+    commit 2 upserts a batch that REPLACES every 'click' row (same
+    (user_id, event_id) key, event_type rewritten) and INSERTS shifted-id
+    rows — replaced keys become position-delete bitmaps against the base
+    (key columns scanned, payloads untouched), the batch lands as its own
+    overlay store, and read_snapshot unions base+overlay per version.
+    Returns snapshot v1 ∪ latest; the oracle replays both versions in
+    SQL, so a lost replace, a double-kept key, or a version leak goes red
+    on values."""
+    import tempfile
+
+    from varint_spark.engine import EncodeOptions
+    from varint_spark.lineage import (encode_checkpointed, read_snapshot,
+                                      upsert_checkpointed)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type")
+    opts = EncodeOptions(num_buckets=4, chunk_rows=512, salt_span=1 << 30,
+                         group_col="user_id", order_col="event_id")
+    kinds = {"event_id": "int64", "user_id": "int64", "event_type": "str"}
+    ddl = "event_id long, user_id long, event_type string"
+    root = tempfile.mkdtemp(prefix="vs_mor_store_")
+
+    encode_checkpointed(ev, root, opts, kinds=kinds)              # commit 1
+    up = ev.filter(F.col("event_type") == "click") \
+        .withColumn("event_type", F.lit("click_v2")) \
+        .unionByName(
+            ev.filter(F.col("event_type") == "purchase").select(
+                (F.col("event_id") + 1000000).alias("event_id"),
+                "user_id", F.lit("inserted").alias("event_type")))
+    upsert_checkpointed(up, root, opts, kinds=kinds)              # commit 2
+    v1 = read_snapshot(spark, root, ddl, as_of=1, kinds=kinds)
+    latest = read_snapshot(spark, root, ddl, kinds=kinds)
+    return v1.withColumn("snap", F.lit(1)).unionByName(
+        latest.withColumn("snap", F.lit(2)))
+
+
 def _q_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level DELETE via deletion vectors — the Delta/Iceberg-v3
     sidecar design through the engine's OWN Roaring-style bitmap codec
@@ -1712,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_index_incremental": _q_text_index_incremental,
         "delete_vectors": _q_delete_vectors,
         "time_travel": _q_time_travel,
+        "upsert_merge_on_read": _q_upsert_mor,
         "roundtrip_events": _rt("events", "user_id", "event_id"),
         "roundtrip_orders": _rt("orders", "o_custkey", "o_orderkey"),
         "roundtrip_lineitem": _rt("lineitem", "l_orderkey", "l_linenumber"),
@@ -2259,6 +2299,20 @@ def oracle_sql() -> dict[str, str]:
             " SELECT event_id, user_id, event_type, 3 AS snap FROM events"
             " WHERE (event_id < 512 AND event_type <> 'error')"
             "    OR event_id >= 512"
+        ),
+        # both versions replayed: v1 = the raw table; v2 = clicks
+        # rewritten in place (same key) plus the shifted-id inserts
+        "upsert_merge_on_read": (
+            "SELECT event_id, user_id, event_type, 1 AS snap FROM events"
+            " UNION ALL"
+            " SELECT event_id, user_id,"
+            " CASE WHEN event_type = 'click' THEN 'click_v2'"
+            "      ELSE event_type END AS event_type, 2 AS snap"
+            " FROM events"
+            " UNION ALL"
+            " SELECT event_id + 1000000, user_id,"
+            " 'inserted' AS event_type, 2 AS snap FROM events"
+            " WHERE event_type = 'purchase'"
         ),
         # the composed pipeline replayed in SQL: ROW_NUMBER dedup, same
         # feature expressions, same filter, same aggregation

@@ -102,3 +102,56 @@ def test_pre_commit_store_reads_as_commit_zero(spark, tmp_path):
 def test_snapshot_missing_store(spark, tmp_path):
     with pytest.raises(ValueError, match="no committed lineage"):
         read_snapshot(spark, str(tmp_path / "nope"), DDL)
+
+
+def test_upsert_merge_on_read(spark, tmp_path):
+    """MERGE INTO semantics without payload rewrites: replaced keys are
+    DV-masked in base + earlier overlays, the batch lands as its own
+    overlay store, and every snapshot version stays exact."""
+    from varint_spark.lineage import upsert_checkpointed
+
+    root = str(tmp_path / "store")
+    a = _batch(spark, 0, 1024)
+    encode_checkpointed(a, root, OPTS)                         # commit 1
+
+    def _up(ids, v):
+        ids = np.asarray(ids, dtype=np.int64)
+        return spark.createDataFrame(pd.DataFrame(
+            {"event_id": ids, "g": ids % 5,
+             "v": np.full(len(ids), v, dtype=np.int64)}))
+
+    # commit 2: update 100..149, insert 2048..2147
+    up1 = _up(list(range(100, 150)) + list(range(2048, 2148)), -1)
+    r2 = upsert_checkpointed(up1, root, OPTS)
+    assert r2["commit"] == 2 and r2["rows_replaced"] == 50
+
+    # commit 3: override part of the first upsert AND part of the base
+    up2 = _up(range(120, 180), -3)
+    r3 = upsert_checkpointed(up2, root, OPTS)
+    assert r3["commit"] == 3
+    # 120..149 live in overlay 2, 150..179 in the base
+    assert r3["rows_replaced"] == 60
+
+    base = _pdf(a)
+    v1 = base
+    v2 = base[~base.event_id.between(100, 149)]
+    v2 = pd.concat([v2, _pdf(up1)]).sort_values("event_id") \
+        .reset_index(drop=True)
+    v3 = v2[~v2.event_id.between(120, 179)]
+    v3 = pd.concat([v3, _pdf(up2)]).sort_values("event_id") \
+        .reset_index(drop=True)
+    for ver, want in [(1, v1), (2, v2), (3, v3), (None, v3)]:
+        got = _pdf(read_snapshot(spark, root, DDL, as_of=ver))
+        pd.testing.assert_frame_equal(got, want), ver
+
+    # a later plain delete composes: commit 4 removes v == -3 rows
+    from varint_spark.lineage import _overlay_commits, read_snapshot as rs
+    for _, od in _overlay_commits(root):
+        blocks = read_blocks(spark, od).drop("pk")
+        delete_checkpointed(delete_where(blocks, "v", lo=-3, hi=-3), od,
+                            commit=4)
+    v4 = v3[v3.v != -3].reset_index(drop=True)
+    pd.testing.assert_frame_equal(_pdf(rs(spark, root, DDL)), v4)
+    # and version 3 still shows them
+    pd.testing.assert_frame_equal(
+        _pdf(rs(spark, root, DDL, as_of=3)), v3)

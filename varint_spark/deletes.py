@@ -148,3 +148,76 @@ def join_dv(blocks: DataFrame, dv: DataFrame) -> DataFrame:
     the decoded arrays; see ``engine.decode_blocks(deletes=)``."""
     side = dv.select("part_key", "chunk_id", F.col("dv").alias("_dv"))
     return blocks.join(side, on=["part_key", "chunk_id"], how="left")
+
+
+_KEY_KIND_DDL = {"int32": "int", "int64": "long", "ts": "timestamp",
+                 "tsntz": "timestamp_ntz", "str": "string"}
+
+
+def _keys_with_offsets(blocks: DataFrame, key_kinds: dict[str, str],
+                       deletes: DataFrame | None = None) -> DataFrame:
+    """Decode ONLY the key columns of each chunk, tagged with the
+    chunk-local PHYSICAL row offset — the position-delete scan: payload
+    columns never leave disk (the ``column`` filter pushes into the
+    blocks parquet scan). ``deletes``: rows already masked by earlier
+    vectors are excluded (their offsets are skipped, numbering stays
+    physical), so the scan sees exactly the currently-visible rows."""
+    from .engine import make_decode_udf
+
+    cols = list(key_kinds)
+    ddl = ", ".join(f"{c} {_KEY_KIND_DDL[key_kinds[c]]}" for c in cols) \
+        + ", part_key string, chunk_id int, _offset long"
+    # decode WITHOUT the _dv short-circuit (offsets must stay physical);
+    # strip _dv before handing the group to the plain decode UDF
+    inner = make_decode_udf(key_kinds, cols)
+    if deletes is not None:
+        blocks = join_dv(blocks, deletes)
+
+    def fn(key, table):
+        dv = None
+        if "_dv" in table.column_names:
+            dv = table.column("_dv")[0].as_py()
+            table = table.drop_columns(["_dv"])
+        t = inner(key, table)
+        n = t.num_rows
+        t = t.append_column("part_key", pa.array([key[0].as_py()] * n, pa.string())) \
+             .append_column("chunk_id", pa.array([key[1].as_py()] * n, pa.int32())) \
+             .append_column("_offset", pa.array(np.arange(n, dtype=np.int64)))
+        if dv is not None:
+            keep = np.ones(n, dtype=bool)
+            keep[bitmap.decode(dv)] = False
+            t = t.filter(pa.array(keep))
+        return t
+
+    return blocks.filter(F.col("column").isin(cols)) \
+        .groupBy("part_key", "chunk_id").applyInArrow(fn, ddl)
+
+
+def delete_matching_keys(blocks: DataFrame, keys: DataFrame,
+                         key_kinds: dict[str, str],
+                         deletes: DataFrame | None = None) -> DataFrame:
+    """Position deletes by KEY SET — the merge-on-read primitive (what
+    Iceberg calls position delete files, here as the engine's own bitmap
+    sidecars): rows whose key tuple appears in ``keys`` get their chunk
+    offsets collected into one DV per chunk.
+
+    Scale shape: one scan of the KEY columns only (offset-tagged decode),
+    a semi-join against the key set (metadata-sized for upserts — AQE
+    broadcasts it), one chunk-keyed shuffle of the hit offsets. Payload
+    columns are never read. ``deletes``: the store's current vectors —
+    already-masked rows are not re-marked (keeps delete counts honest)."""
+    key_cols = list(key_kinds)
+    dec = _keys_with_offsets(blocks, key_kinds, deletes=deletes)
+    hits = dec.join(keys.select(*key_cols).distinct(), on=key_cols,
+                    how="left_semi")
+
+    def to_dv(key, table):
+        offs = np.sort(table.column("_offset").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "part_key": table.column("part_key").slice(0, 1),
+            "chunk_id": table.column("chunk_id").slice(0, 1),
+            "dv": pa.array([bitmap.encode(offs)], pa.binary()),
+            "n_deleted": pa.array([len(offs)], pa.int64()),
+        })
+
+    return hits.groupBy("part_key", "chunk_id").applyInArrow(to_dv, DV_DDL)

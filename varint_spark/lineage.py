@@ -160,16 +160,30 @@ def vacuum(spark: SparkSession, root: str, dry_run: bool = False) -> dict:
 # the documented Iceberg-without-Iceberg limit of this plain-parquet layout.
 
 
+def _overlay_commits(root: str) -> list[tuple[int, str]]:
+    """(commit, path) of the merge-on-read overlay stores under
+    <root>/overlays/<commit>, ascending."""
+    p = Path(root) / "overlays"
+    if not p.exists():
+        return []
+    return sorted((int(d.name), str(d)) for d in p.iterdir()
+                  if d.is_dir() and d.name.isdigit())
+
+
 def next_commit(spark: SparkSession, root: str) -> int:
-    """1 + the highest commit across the lineage and the delete log —
-    driver work is two metadata-sized maxes."""
+    """1 + the highest commit across the lineage, the delete log, and any
+    overlay stores (their creation ids and delete logs) — driver work is
+    a few metadata-sized maxes."""
     mx = 0
     lin = read_lineage(spark, root)
     if lin is not None:
         mx = lin.agg(F.max("commit")).first()[0] or 0
-    log = read_delete_log(spark, root)
-    if log is not None:
-        mx = max(mx, log.agg(F.max("commit")).first()[0] or 0)
+    for d in [root] + [od for _, od in _overlay_commits(root)]:
+        log = read_delete_log(spark, d)
+        if log is not None:
+            mx = max(mx, log.agg(F.max("commit")).first()[0] or 0)
+    for c, _ in _overlay_commits(root):
+        mx = max(mx, c)
     return mx + 1
 
 
@@ -180,14 +194,17 @@ def read_delete_log(spark: SparkSession, root: str) -> DataFrame | None:
     return spark.read.parquet(str(p))
 
 
-def delete_checkpointed(dv: DataFrame, root: str) -> dict:
+def delete_checkpointed(dv: DataFrame, root: str,
+                        commit: int | None = None) -> dict:
     """Commit a deletion-vector table (varint_spark.deletes.delete_where /
-    merge_dv output) to <root>/deletes, tagged with the next commit id.
+    merge_dv output) to <root>/deletes, tagged with the next commit id
+    (or an explicit ``commit`` — upserts stamp one id across stores).
     Append-only — vectors are merged at read time (canonical OR), so a
     crash mid-append at worst leaves a torn parquet file that Spark
     refuses to read, never a half-applied delete."""
     spark = dv.sparkSession
-    commit = next_commit(spark, root)
+    if commit is None:
+        commit = next_commit(spark, root)
     tagged = dv.withColumn("commit", F.lit(commit))
     tagged.write.mode("append").parquet(str(Path(root) / "deletes"))
     stats = tagged.agg(F.count("*"), F.sum("n_deleted")).first()
@@ -210,21 +227,14 @@ def read_deletes(spark: SparkSession, root: str,
     return merge_dv(log.drop("commit"))
 
 
-def read_snapshot(spark: SparkSession, root: str, schema_ddl: str,
-                  as_of: int | None = None,
-                  kinds: dict[str, str] | None = None, shared=None,
-                  columns: list[str] | None = None,
-                  missing_ok: bool = False) -> DataFrame:
-    """Decode the table as of commit ``as_of`` (latest when None):
-    committed partitions with lineage commit <= as_of, minus deletion
-    vectors with commit <= as_of. The partition filter is a broadcast
-    semi-join against metadata; everything else is the ordinary
-    distributed decode path."""
-    from .engine import decode_blocks
-
+def _read_snapshot_single(spark: SparkSession, root: str, schema_ddl: str,
+                          as_of: int | None, kinds, shared, columns,
+                          missing_ok: bool) -> DataFrame:
     lin = read_lineage(spark, root)
     if lin is None:
         raise ValueError(f"no committed lineage under {root!r}")
+    from .engine import decode_blocks
+
     if as_of is not None:
         lin = lin.filter(F.col("commit") <= as_of)
     part_keys = lin.select("part_key").distinct()
@@ -233,3 +243,85 @@ def read_snapshot(spark: SparkSession, root: str, schema_ddl: str,
     dv = read_deletes(spark, root, as_of=as_of)
     return decode_blocks(blocks, schema_ddl, kinds=kinds, shared=shared,
                          columns=columns, missing_ok=missing_ok, deletes=dv)
+
+
+def read_snapshot(spark: SparkSession, root: str, schema_ddl: str,
+                  as_of: int | None = None,
+                  kinds: dict[str, str] | None = None, shared=None,
+                  columns: list[str] | None = None,
+                  missing_ok: bool = False) -> DataFrame:
+    """Decode the table as of commit ``as_of`` (latest when None):
+    committed partitions with lineage commit <= as_of, minus deletion
+    vectors with commit <= as_of, plus merge-on-read overlay stores
+    created at commit <= as_of (each read under the same version — an
+    overlay row upserted over again is DV-masked by the later commit,
+    so last-writer-wins per key holds at every version). The partition
+    filters are broadcast semi-joins against metadata; everything else
+    is the ordinary distributed decode path."""
+    overlays = [(c, od) for c, od in _overlay_commits(root)
+                if as_of is None or c <= as_of]
+    parts: list[DataFrame] = []
+    try:
+        parts.append(_read_snapshot_single(spark, root, schema_ddl, as_of,
+                                           kinds, shared, columns, missing_ok))
+    except ValueError:
+        if not overlays:  # nothing at all under this root
+            raise
+    for _, od in overlays:
+        parts.append(_read_snapshot_single(spark, od, schema_ddl, as_of,
+                                           kinds, shared, columns, missing_ok))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def upsert_checkpointed(df: DataFrame, root: str,
+                        opts: EncodeOptions = EncodeOptions(),
+                        kinds: dict[str, str] | None = None,
+                        shared=None) -> dict:
+    """Merge-on-read UPSERT (the MERGE INTO ... WHEN MATCHED UPDATE /
+    WHEN NOT MATCHED INSERT shape): rows keyed by (group_col, order_col)
+    replace any stored row with the same key and insert otherwise —
+    without rewriting a single payload block. One commit id stamps the
+    whole operation:
+
+    1. position deletes: the batch's key set semi-joins the stored KEY
+       columns (base + every earlier overlay; payload columns never
+       read — varint_spark.deletes.delete_matching_keys) and the hit
+       offsets land as DV appends tagged with this commit;
+    2. the batch itself encodes into its own overlay store
+       <root>/overlays/<commit> (fresh part_keys — no salt collision
+       with the base).
+
+    ``read_snapshot`` unions base + overlays at any version, so history
+    stays exact: a snapshot before this commit shows the old rows, one
+    at-or-after shows exactly the new ones. Overlay proliferation is the
+    usual MoR trade — fold overlays back with compact_blocks + a base
+    re-encode when their count grows."""
+    from .deletes import delete_matching_keys
+    from .engine import kinds_for_schema
+
+    spark = df.sparkSession
+    commit = next_commit(spark, root)
+    kinds = kinds or kinds_for_schema(df.schema)
+    key_cols = [opts.group_col, opts.order_col]
+    key_kinds = {c: kinds[c] for c in key_cols}
+    keys = df.select(*key_cols).distinct()
+
+    targets = []
+    if (Path(root) / "blocks").exists():
+        targets.append(root)
+    targets += [od for c, od in _overlay_commits(root) if c < commit]
+    rows_replaced = 0
+    for t in targets:
+        blocks = read_blocks(spark, t).drop("pk")
+        dv = delete_matching_keys(blocks, keys, key_kinds,
+                                  deletes=read_deletes(spark, t))
+        rows_replaced += delete_checkpointed(dv, t, commit=commit)["rows_deleted"]
+
+    overlay_root = str(Path(root) / "overlays" / f"{commit:06d}")
+    enc = encode_checkpointed(df, overlay_root, opts, kinds=kinds,
+                              shared=shared)
+    return {"commit": commit, "rows_replaced": rows_replaced,
+            "partitions_encoded": enc["partitions_encoded"]}
