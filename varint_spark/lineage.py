@@ -64,6 +64,68 @@ def read_blocks(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(str(Path(root) / "blocks"))
 
 
+# --- commit manifests: crash-atomic multi-file commits ---------------------
+#
+# A logical commit touches several files (lineage append, delete-log
+# appends across stores, an overlay encode). The marker file
+# <root>/commits/<id> is written LAST; readers honor only manifested
+# commit ids, so a crash mid-commit leaves every partial write INVISIBLE
+# (the table reads as if the commit never started) rather than
+# half-applied. The next operation takes a fresh id (next_commit scans
+# partials too), so crashed ids are never reused; their garbage stays
+# invisible forever. Stores written before manifests existed have no
+# commits dir and read ungated; the first manifest-aware write backfills
+# markers for every id already present (those were fully readable, hence
+# fully committed, under the single-writer assumption).
+
+
+def committed_ids(root: str) -> set[int] | None:
+    """Manifested commit ids, or None for a legacy store (no commits
+    dir => no gating)."""
+    p = Path(root) / "commits"
+    if not p.exists():
+        return None
+    return {int(f.name) for f in p.iterdir() if f.name.isdigit()}
+
+
+def _write_manifest(root: str, commit: int) -> None:
+    p = Path(root) / "commits"
+    p.mkdir(parents=True, exist_ok=True)
+    (p / str(commit)).touch()
+
+
+def _ensure_manifests(spark: SparkSession, root: str) -> None:
+    """Upgrade a legacy store in place: backfill a marker for every
+    commit id already observable (they were readable before, hence fully
+    committed)."""
+    if committed_ids(root) is not None:
+        return
+    ids = {0}
+    lin = read_lineage(spark, root)
+    if lin is not None:
+        ids |= {r.commit for r in lin.select("commit").distinct().collect()}
+    log = read_delete_log(spark, root)
+    if log is not None:
+        ids |= {r.commit for r in log.select("commit").distinct().collect()}
+    for c, od in _overlay_commits(root):
+        ids.add(c)
+        log = read_delete_log(spark, od)
+        if log is not None:
+            ids |= {r.commit
+                    for r in log.select("commit").distinct().collect()}
+    for c in ids:
+        _write_manifest(root, c)
+
+
+def _gate_commits(df: DataFrame, allowed: set[int] | None) -> DataFrame:
+    """Keep rows whose commit id is manifested (commit 0 — the
+    pre-manifest epoch — always passes)."""
+    if allowed is None:
+        return df
+    return df.filter((F.col("commit") == 0) |
+                     F.col("commit").isin([int(x) for x in allowed]))
+
+
 def encode_checkpointed(df: DataFrame, root: str,
                         opts: EncodeOptions = EncodeOptions(),
                         kinds: dict[str, str] | None = None, shared=None) -> dict:
@@ -79,9 +141,15 @@ def encode_checkpointed(df: DataFrame, root: str,
     from straddling a committed salt group."""
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    _ensure_manifests(spark, root)
 
     keyed = with_partition_keys(df, opts).withColumn("_part_key", _part_key_col())
+    # resume trusts only MANIFESTED lineage: a crash between the lineage
+    # append and the manifest leaves rows that readers ignore — those
+    # partitions must re-encode, not be skipped into invisibility
     lin = read_lineage(spark, root)
+    if lin is not None:
+        lin = _gate_commits(lin, committed_ids(root))
     skipped = 0
     if lin is not None:
         done = lin.select("part_key").distinct()
@@ -110,6 +178,7 @@ def encode_checkpointed(df: DataFrame, root: str,
     new_lineage = lineage_summary(new_blocks).withColumn("commit", F.lit(commit))
     new_lineage.write.mode("append").parquet(str(Path(root) / "lineage"))
     done_now = new_lineage.select("part_key").distinct().count()
+    _write_manifest(root, commit)
     return {"partitions_encoded": done_now, "partitions_skipped": skipped,
             "commit": commit}
 
@@ -195,33 +264,40 @@ def read_delete_log(spark: SparkSession, root: str) -> DataFrame | None:
 
 
 def delete_checkpointed(dv: DataFrame, root: str,
-                        commit: int | None = None) -> dict:
+                        commit: int | None = None,
+                        write_manifest: bool = True) -> dict:
     """Commit a deletion-vector table (varint_spark.deletes.delete_where /
     merge_dv output) to <root>/deletes, tagged with the next commit id
-    (or an explicit ``commit`` — upserts stamp one id across stores).
-    Append-only — vectors are merged at read time (canonical OR), so a
-    crash mid-append at worst leaves a torn parquet file that Spark
-    refuses to read, never a half-applied delete."""
+    (or an explicit ``commit`` — upserts stamp one id across stores and
+    pass ``write_manifest=False``, manifesting once at the end).
+    Append-only, manifest written last — a crash mid-append leaves rows
+    readers ignore (unmanifested id), never a half-applied delete."""
     spark = dv.sparkSession
+    _ensure_manifests(spark, root)
     if commit is None:
         commit = next_commit(spark, root)
     tagged = dv.withColumn("commit", F.lit(commit))
     tagged.write.mode("append").parquet(str(Path(root) / "deletes"))
     stats = tagged.agg(F.count("*"), F.sum("n_deleted")).first()
+    if write_manifest:
+        _write_manifest(root, commit)
     return {"commit": commit, "chunks": stats[0],
             "rows_deleted": stats[1] or 0}
 
 
 def read_deletes(spark: SparkSession, root: str,
-                 as_of: int | None = None) -> DataFrame | None:
+                 as_of: int | None = None,
+                 allowed: set[int] | None = None) -> DataFrame | None:
     """The merged deletion-vector state at version ``as_of`` (latest when
     None): one vector per touched chunk, commits OR-folded container-level
-    (varint_spark.deletes.merge_dv)."""
+    (varint_spark.deletes.merge_dv). ``allowed``: manifested commit ids —
+    unmanifested (crashed) delete appends are ignored."""
     from .deletes import merge_dv
 
     log = read_delete_log(spark, root)
     if log is None:
         return None
+    log = _gate_commits(log, allowed)
     if as_of is not None:
         log = log.filter(F.col("commit") <= as_of)
     return merge_dv(log.drop("commit"))
@@ -229,18 +305,27 @@ def read_deletes(spark: SparkSession, root: str,
 
 def _read_snapshot_single(spark: SparkSession, root: str, schema_ddl: str,
                           as_of: int | None, kinds, shared, columns,
-                          missing_ok: bool) -> DataFrame:
+                          missing_ok: bool,
+                          dv_allowed: set[int] | None) -> DataFrame:
     lin = read_lineage(spark, root)
     if lin is None:
         raise ValueError(f"no committed lineage under {root!r}")
     from .engine import decode_blocks
 
+    # lineage gates by THIS store's manifests (an overlay numbers its
+    # own encode runs); DV rows carry GLOBAL ids — a delete can manifest
+    # in this store's dir (standalone) or the base's (upsert), so gate
+    # by the union of the two
+    own = committed_ids(root)
+    lin = _gate_commits(lin, own)
     if as_of is not None:
         lin = lin.filter(F.col("commit") <= as_of)
     part_keys = lin.select("part_key").distinct()
     blocks = read_blocks(spark, root).drop("pk").join(
         F.broadcast(part_keys), on="part_key", how="left_semi")
-    dv = read_deletes(spark, root, as_of=as_of)
+    dv_ids = None if (own is None and dv_allowed is None) \
+        else (own or set()) | (dv_allowed or set())
+    dv = read_deletes(spark, root, as_of=as_of, allowed=dv_ids)
     return decode_blocks(blocks, schema_ddl, kinds=kinds, shared=shared,
                          columns=columns, missing_ok=missing_ok, deletes=dv)
 
@@ -258,18 +343,22 @@ def read_snapshot(spark: SparkSession, root: str, schema_ddl: str,
     so last-writer-wins per key holds at every version). The partition
     filters are broadcast semi-joins against metadata; everything else
     is the ordinary distributed decode path."""
+    base_allowed = committed_ids(root)
     overlays = [(c, od) for c, od in _overlay_commits(root)
-                if as_of is None or c <= as_of]
+                if (as_of is None or c <= as_of)
+                and (base_allowed is None or c in base_allowed)]
     parts: list[DataFrame] = []
     try:
         parts.append(_read_snapshot_single(spark, root, schema_ddl, as_of,
-                                           kinds, shared, columns, missing_ok))
+                                           kinds, shared, columns, missing_ok,
+                                           base_allowed))
     except ValueError:
         if not overlays:  # nothing at all under this root
             raise
     for _, od in overlays:
         parts.append(_read_snapshot_single(spark, od, schema_ddl, as_of,
-                                           kinds, shared, columns, missing_ok))
+                                           kinds, shared, columns, missing_ok,
+                                           base_allowed))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -303,25 +392,41 @@ def upsert_checkpointed(df: DataFrame, root: str,
     from .engine import kinds_for_schema
 
     spark = df.sparkSession
+    _ensure_manifests(spark, root)
     commit = next_commit(spark, root)
     kinds = kinds or kinds_for_schema(df.schema)
     key_cols = [opts.group_col, opts.order_col]
     key_kinds = {c: kinds[c] for c in key_cols}
     keys = df.select(*key_cols).distinct()
 
+    base_allowed = committed_ids(root)
     targets = []
     if (Path(root) / "blocks").exists():
         targets.append(root)
-    targets += [od for c, od in _overlay_commits(root) if c < commit]
+    # manifested overlays only: a crashed overlay is invisible to reads,
+    # so marking its rows would be wasted sidecar bytes
+    targets += [od for c, od in _overlay_commits(root)
+                if c < commit and (base_allowed is None or c in base_allowed)]
     rows_replaced = 0
     for t in targets:
         blocks = read_blocks(spark, t).drop("pk")
-        dv = delete_matching_keys(blocks, keys, key_kinds,
-                                  deletes=read_deletes(spark, t))
-        rows_replaced += delete_checkpointed(dv, t, commit=commit)["rows_deleted"]
+        # current VISIBLE state only: a crashed commit's unmanifested
+        # vectors don't apply, so their rows must be re-marked here
+        own = committed_ids(t)
+        dv_ids = None if (own is None and base_allowed is None) \
+            else (own or set()) | (base_allowed or set())
+        dv = delete_matching_keys(
+            blocks, keys, key_kinds,
+            deletes=read_deletes(spark, t, allowed=dv_ids))
+        # one manifest covers the whole upsert — written LAST, in the
+        # base, so a crash anywhere in this loop (or in the overlay
+        # encode below) leaves every partial write invisible
+        rows_replaced += delete_checkpointed(
+            dv, t, commit=commit, write_manifest=False)["rows_deleted"]
 
     overlay_root = str(Path(root) / "overlays" / f"{commit:06d}")
     enc = encode_checkpointed(df, overlay_root, opts, kinds=kinds,
                               shared=shared)
+    _write_manifest(root, commit)
     return {"commit": commit, "rows_replaced": rows_replaced,
             "partitions_encoded": enc["partitions_encoded"]}
