@@ -133,3 +133,59 @@ def test_dedup_stream_against_persisted_index(spark, tmp_path_factory):
     assert {r.batch for r in idx.select("batch").distinct().collect()} == {0, 1}
     assert {r.doc_id for r in idx.collect()} == \
         set(range(20)) | set(range(100, 110))
+
+
+def test_upsert_stream_cdc_apply(spark, tmp_path_factory):
+    """CDC ingestion: wave 1 seeds the table, wave 2 carries updates
+    (same key, new value — including two updates to ONE key resolved by
+    dedup_col last-wins) and inserts; the committed store reads as the
+    merged table, and the pre-update version stays addressable."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from varint_spark.lineage import read_snapshot
+    from varint_spark.streaming import upsert_stream
+
+    src = str(tmp_path_factory.mktemp("cdc_src"))
+    root = str(tmp_path_factory.mktemp("cdc_root"))
+    opts = EncodeOptions(num_buckets=2, chunk_rows=128, salt_span=1 << 30,
+                         group_col="g", order_col="event_id")
+    ddl = "event_id long, g long, v long, seq long"
+
+    def make(ids, v, seq):
+        ids = np.asarray(ids, dtype=np.int64)
+        return spark.createDataFrame(pd.DataFrame(
+            {"event_id": ids, "g": ids % 3,
+             "v": np.full(len(ids), v, dtype=np.int64),
+             "seq": np.full(len(ids), seq, dtype=np.int64)}))
+
+    make(range(0, 400), 1, seq=0).write.mode("append").parquet(src)
+    q = upsert_stream(spark, src, ddl, root, opts, dedup_col="seq")
+    q.awaitTermination(120)
+
+    # wave 2: update 100..199 (seq 1), re-update 150..199 (seq 2), insert 400..499
+    up = make(range(100, 200), 2, seq=1) \
+        .unionByName(make(range(150, 200), 3, seq=2)) \
+        .unionByName(make(range(400, 500), 9, seq=1))
+    up.write.mode("append").parquet(src)
+    q2 = upsert_stream(spark, src, ddl, root, opts, dedup_col="seq")
+    q2.awaitTermination(120)
+
+    got = read_snapshot(spark, root, ddl).toPandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert got.event_id.is_unique and len(got) == 500
+    vals = got.set_index("event_id").v
+    assert (vals.loc[:99] == 1).all() and (vals.loc[200:399] == 1).all()
+    assert (vals.loc[100:149] == 2).all()          # seq-1 update applied
+    assert (vals.loc[150:199] == 3).all()          # seq-2 beats seq-1
+    assert (vals.loc[400:] == 9).all()             # inserts
+
+    # the pre-update version is still addressable
+    v1 = read_snapshot(spark, root, ddl, as_of=1).toPandas()
+    assert len(v1) == 400 and (v1.v == 1).all()
+
+    # restart with nothing new: checkpoint replays no epochs, no commit
+    q3 = upsert_stream(spark, src, ddl, root, opts, dedup_col="seq")
+    q3.awaitTermination(120)
+    again = read_snapshot(spark, root, ddl).toPandas()
+    assert len(again) == 500

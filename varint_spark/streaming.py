@@ -174,3 +174,47 @@ def running_conversation_totals(stream_df: DataFrame,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def upsert_stream(spark: SparkSession, input_dir: str, schema_ddl: str,
+                  root: str, opts: EncodeOptions = EncodeOptions(),
+                  dedup_col: str | None = None,
+                  available_now: bool = True):
+    """Streaming CDC apply: each micro-batch MERGEs into the committed
+    block store (lineage.upsert_checkpointed) keyed by (group_col,
+    order_col) — arriving updates replace stored rows via position
+    deletes, inserts land as overlay stores, and readers see every
+    version through read_snapshot.
+
+    ``dedup_col``: CDC batches often carry several updates to one key;
+    pass a sequence column and the LAST write per key (max dedup_col,
+    ties broken by nothing — make the sequence unique) is applied, the
+    rest dropped before the upsert. Without it the batch must be
+    key-unique (duplicate keys would both survive as visible rows).
+
+    Exactly-once across restarts: Spark replays an unacknowledged epoch;
+    the replay runs as a FRESH commit whose position deletes mark the
+    earlier attempt's overlay rows, so the visible state converges
+    (upsert is state-idempotent), and a crashed attempt's partial writes
+    stay invisible behind the commit manifest (written last)."""
+    from .lineage import upsert_checkpointed
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if dedup_col is not None:
+            from pyspark.sql import Window
+            w = Window.partitionBy(opts.group_col, opts.order_col) \
+                .orderBy(F.col(dedup_col).desc())
+            batch_df = batch_df.withColumn("_rn", F.row_number().over(w)) \
+                .filter(F.col("_rn") == 1).drop("_rn")
+        if batch_df.isEmpty():
+            return
+        upsert_checkpointed(batch_df, root, opts)
+
+    stream = spark.readStream.schema(schema_ddl).parquet(input_dir)
+    writer = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", str(Path(root) / "_upsert_checkpoint"))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
