@@ -155,3 +155,27 @@ def test_upsert_merge_on_read(spark, tmp_path):
     # and version 3 still shows them
     pd.testing.assert_frame_equal(
         _pdf(rs(spark, root, DDL, as_of=3)), v3)
+
+
+def test_delete_where_checkpointed_spans_overlays(spark, tmp_path):
+    """Table-level DELETE WHERE hits base AND overlay rows under one
+    commit, and the pre-delete version stays addressable."""
+    from varint_spark.lineage import (delete_where_checkpointed,
+                                      upsert_checkpointed)
+
+    root = str(tmp_path / "store")
+    a = _batch(spark, 0, 512)                    # v = (id*37) % 1000
+    encode_checkpointed(a, root, OPTS)           # commit 1
+    up = _batch(spark, 400, 600)                 # replaces 400..511, adds rest
+    upsert_checkpointed(up, root, OPTS)          # commit 2
+    r = delete_where_checkpointed(spark, root, "v", lo=0, hi=199)  # commit 3
+    assert r["commit"] == 3 and r["rows_deleted"] > 0
+
+    merged = a.filter(~F.col("event_id").between(400, 599)).unionByName(up)
+    want3 = _pdf(merged.filter(~F.col("v").between(0, 199)))
+    pd.testing.assert_frame_equal(_pdf(read_snapshot(spark, root, DDL)), want3)
+    pd.testing.assert_frame_equal(
+        _pdf(read_snapshot(spark, root, DDL, as_of=2)), _pdf(merged))
+
+    with pytest.raises(ValueError, match="no committed data"):
+        delete_where_checkpointed(spark, str(tmp_path / "empty"), "v", lo=0)

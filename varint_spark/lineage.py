@@ -430,3 +430,38 @@ def upsert_checkpointed(df: DataFrame, root: str,
     _write_manifest(root, commit)
     return {"commit": commit, "rows_replaced": rows_replaced,
             "partitions_encoded": enc["partitions_encoded"]}
+
+
+def delete_where_checkpointed(spark: SparkSession, root: str,
+                              filter_col: str, kind: str = "int64",
+                              lo: int | None = None, hi: int | None = None,
+                              eq: str | None = None, prefix: str | None = None,
+                              isin: list[str] | None = None,
+                              like: str | None = None, shared=None) -> dict:
+    """Table-level DELETE WHERE for a merge-on-read store: the predicate
+    (same surface as varint_spark.deletes.delete_where, evaluated on the
+    ENCODED form) runs against the base and every manifested overlay, and
+    all resulting vectors land under ONE commit id, manifested last —
+    crash-atomic like every other table op. Returns the commit id and
+    rows deleted per store."""
+    _ensure_manifests(spark, root)
+    from .deletes import delete_where as _dw
+
+    commit = next_commit(spark, root)
+    base_allowed = committed_ids(root)
+    targets = []
+    if (Path(root) / "blocks").exists():
+        targets.append(root)
+    targets += [od for c, od in _overlay_commits(root)
+                if base_allowed is None or c in base_allowed]
+    if not targets:
+        raise ValueError(f"no committed data under {root!r}")
+    rows = 0
+    for t in targets:
+        blocks = read_blocks(spark, t).drop("pk")
+        dv = _dw(blocks, filter_col, kind=kind, lo=lo, hi=hi, eq=eq,
+                 prefix=prefix, isin=isin, like=like, shared=shared)
+        rows += delete_checkpointed(dv, t, commit=commit,
+                                    write_manifest=False)["rows_deleted"]
+    _write_manifest(root, commit)
+    return {"commit": commit, "rows_deleted": rows}
