@@ -205,3 +205,36 @@ def test_groupby_pushdown_decodes_only_boundary_chunks(spark):
     n_boundary = gm.filter((F.col("min_val") != F.col("max_val"))
                            | (F.col("null_count") > 0)).count()
     assert n_boundary <= 4, n_boundary  # 4 groups -> ≤ 3 boundaries (+1 slack)
+
+
+def test_delete_where_is_shuffle_free_and_scans_one_column(spark, tmp_path_factory):
+    """DV build = mapInArrow over the predicate column's block rows:
+    no Exchange anywhere, and the column filter reaches the parquet
+    scan so other columns' payload bytes never leave disk."""
+    from varint_spark.deletes import delete_where
+
+    d = str(tmp_path_factory.mktemp("dv_blocks"))
+    df = transcripts.generate_spark(spark, n_conversations=50, n_hot=0)
+    encode_transcripts(df, OPTS).write.mode("overwrite").parquet(d)
+    blocks = spark.read.parquet(d)
+    dv = delete_where(blocks, "turn_idx", lo=0, hi=3)
+    plan = _plan(dv)
+    assert "Exchange" not in plan, plan
+    assert "EqualTo(column,turn_idx)" in plan, plan
+
+
+def test_decode_with_deletes_broadcasts_dv_side(spark, tmp_path_factory):
+    """The chunk-keyed DV join must not shuffle the big blocks side:
+    the metadata-sized DV table broadcasts."""
+    from varint_spark.deletes import delete_where
+
+    d = str(tmp_path_factory.mktemp("dvj_blocks"))
+    df = transcripts.generate_spark(spark, n_conversations=50, n_hot=0)
+    encode_transcripts(df, OPTS).write.mode("overwrite").parquet(d)
+    blocks = spark.read.parquet(d)
+    dv = delete_where(blocks, "turn_idx", lo=0, hi=3)
+    dec = decode_blocks(blocks, transcripts.TRANSCRIPT_DDL, deletes=dv)
+    dec.collect()  # let AQE finalize the join strategy
+    plan = _plan(dec)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
