@@ -244,3 +244,32 @@ def test_pos_block_roundtrip_property(pairs):
             rebuilt.append((d, int(pos[k])))
             k += 1
     assert rebuilt == uniq
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=1, max_value=2000),
+       st.sets(st.integers(min_value=0, max_value=1999)))
+def test_deletion_vector_mask_property(n, dels):
+    """DV roundtrip + mask equivalence for arbitrary offset sets: the
+    serialized bitmap reproduces the offsets, apply_dv_mask drops
+    exactly them, and OR-merge of any split equals the whole."""
+    import pyarrow as pa
+
+    from varint_spark.codecs import bitmap
+    from varint_spark.deletes import apply_dv_mask
+
+    dels = sorted(d for d in dels if d < n)
+    dv = bitmap.encode(np.array(dels, dtype=np.int64))
+    np.testing.assert_array_equal(bitmap.decode(dv), np.array(dels))
+
+    vals = pa.array(np.arange(n, dtype=np.int64))
+    [kept] = apply_dv_mask([vals], n, dv)
+    want = np.setdiff1d(np.arange(n), np.array(dels, dtype=np.int64))
+    np.testing.assert_array_equal(kept.to_numpy(zero_copy_only=False), want)
+
+    # split the offsets arbitrarily: OR of parts == whole, canonically
+    half = [d for d in dels if d % 2 == 0]
+    other = [d for d in dels if d % 2 == 1]
+    merged = bitmap.bitmap_or(bitmap.encode(np.array(half, dtype=np.int64)),
+                              bitmap.encode(np.array(other, dtype=np.int64)))
+    assert merged == dv

@@ -179,3 +179,31 @@ def test_delete_where_checkpointed_spans_overlays(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no committed data"):
         delete_where_checkpointed(spark, str(tmp_path / "empty"), "v", lo=0)
+
+
+def test_flatten_resets_read_amplification(spark, tmp_path):
+    """flatten_checkpointed materializes the MoR table into a fresh
+    single store: same rows, no overlays, no delete log."""
+    import os
+
+    from varint_spark.lineage import (delete_where_checkpointed,
+                                      flatten_checkpointed,
+                                      upsert_checkpointed)
+
+    root = str(tmp_path / "store")
+    new_root = str(tmp_path / "flat")
+    a = _batch(spark, 0, 512)
+    encode_checkpointed(a, root, OPTS)
+    upsert_checkpointed(_batch(spark, 400, 600), root, OPTS)
+    delete_where_checkpointed(spark, root, "v", lo=0, hi=99)
+
+    want = _pdf(read_snapshot(spark, root, DDL))
+    res = flatten_checkpointed(spark, root, new_root, DDL, OPTS)
+    assert res["partitions_encoded"] > 0
+    got = _pdf(read_snapshot(spark, new_root, DDL))
+    pd.testing.assert_frame_equal(got, want)
+    assert not os.path.exists(f"{new_root}/overlays")
+    assert not os.path.exists(f"{new_root}/deletes")
+    # history flattening is explicit: the new store starts at commit 1
+    from varint_spark.lineage import committed_ids
+    assert committed_ids(new_root) == {0, 1}

@@ -465,3 +465,27 @@ def delete_where_checkpointed(spark: SparkSession, root: str,
                                     write_manifest=False)["rows_deleted"]
     _write_manifest(root, commit)
     return {"commit": commit, "rows_deleted": rows}
+
+
+def flatten_checkpointed(spark: SparkSession, root: str, new_root: str,
+                         schema_ddl: str,
+                         opts: EncodeOptions = EncodeOptions(),
+                         kinds: dict[str, str] | None = None,
+                         shared=None, as_of: int | None = None) -> dict:
+    """The merge-on-read maintenance pass: materialize the table at
+    ``as_of`` (latest when None) into a FRESH single store — no overlays,
+    no deletion vectors, one lineage — so read amplification from
+    accumulated upserts resets to zero. Non-destructive: the old root
+    (and its whole history) stays intact; cut readers over to
+    ``new_root``, then drop the old directory when nothing reads it.
+    Row set is exactly ``read_snapshot(root, as_of)`` (tested); the
+    rewrite re-partitions by (group, order) through the ordinary encode
+    path, so the new store obeys every engine invariant (determinism,
+    cost gate, zone maps) as if the merged table had been encoded in one
+    shot."""
+    snap = read_snapshot(spark, root, schema_ddl, as_of=as_of,
+                         kinds=kinds, shared=shared)
+    res = encode_checkpointed(snap, new_root, opts, kinds=kinds,
+                              shared=shared)
+    res["source_as_of"] = as_of
+    return res
