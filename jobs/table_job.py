@@ -59,6 +59,9 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("vacuum", help="GC unreferenced block partitions")
     v.add_argument("--root", required=True)
     v.add_argument("--dry-run", action="store_true")
+    v.add_argument("--orphan-overlays", action="store_true",
+                   help="also remove crashed-upsert overlays "
+                        "(requires no active writer)")
 
     args = p.parse_args(argv)
 
@@ -93,7 +96,8 @@ def main(argv: list[str] | None = None) -> int:
         summary = {"as_of": args.as_of, "rows": snap.count(),
                    "output": args.output}
     else:  # vacuum
-        summary = lineage.vacuum(spark, args.root, dry_run=args.dry_run)
+        summary = lineage.vacuum(spark, args.root, dry_run=args.dry_run,
+                                 orphan_overlays=args.orphan_overlays)
 
     summary["op"] = args.op
     summary["wall_sec"] = round(time.time() - t0, 2)

@@ -122,3 +122,29 @@ def test_legacy_store_upgrades_in_place(spark, tmp_path):
     # and the old history is still addressable
     pd.testing.assert_frame_equal(
         _pdf(read_snapshot(spark, root, DDL, as_of=2)), want)
+
+
+def test_vacuum_reclaims_crashed_overlay(spark, tmp_path):
+    """vacuum(orphan_overlays=True) removes the invisible overlay a
+    crashed upsert left, and touches nothing manifested."""
+    from varint_spark.lineage import vacuum
+
+    root = str(tmp_path / "store")
+    a = _batch(spark, 0, 300)
+    encode_checkpointed(a, root, OPTS)
+    up = _batch(spark, 50, 100, v_of=lambda ids: np.full(len(ids), -1))
+    ok = upsert_checkpointed(up, root, OPTS)              # commit 2, kept
+    bad = upsert_checkpointed(up, root, OPTS)             # commit 3 ...
+    os.remove(f"{root}/commits/{bad['commit']}")          # ... "crashed"
+
+    before = _pdf(read_snapshot(spark, root, DDL))
+    r = vacuum(spark, root, dry_run=True, orphan_overlays=True)
+    assert r["orphan_overlays"] == [bad["commit"]]
+    assert os.path.exists(f"{root}/overlays/{bad['commit']:06d}")  # dry run
+
+    r = vacuum(spark, root, orphan_overlays=True)
+    assert r["orphan_overlays"] == [bad["commit"]]
+    assert not os.path.exists(f"{root}/overlays/{bad['commit']:06d}")
+    assert os.path.exists(f"{root}/overlays/{ok['commit']:06d}")
+    pd.testing.assert_frame_equal(_pdf(read_snapshot(spark, root, DDL)),
+                                  before)

@@ -131,4 +131,5 @@ def test_vacuum_removes_only_orphans(spark, tdf, tmp_path_factory):
                           transcripts.TRANSCRIPT_DDL).count()
     assert after == before
     # idempotent on a clean store
-    assert vacuum(spark, root) == {"orphans": [], "removed": 0}
+    assert vacuum(spark, root) == {"orphans": [], "removed": 0,
+                               "orphan_overlays": []}

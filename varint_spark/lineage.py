@@ -183,7 +183,8 @@ def encode_checkpointed(df: DataFrame, root: str,
             "commit": commit}
 
 
-def vacuum(spark: SparkSession, root: str, dry_run: bool = False) -> dict:
+def vacuum(spark: SparkSession, root: str, dry_run: bool = False,
+           orphan_overlays: bool = False) -> dict:
     """Garbage-collect block partition directories that no committed
     lineage row references — the debris a crash between the block write
     and the lineage append leaves behind (protocol step 3 above). Normally
@@ -193,10 +194,17 @@ def vacuum(spark: SparkSession, root: str, dry_run: bool = False) -> dict:
     same contract as Delta/Iceberg VACUUM: only UNREFERENCED partition
     dirs are touched, so readers of committed data are never affected.
 
+    ``orphan_overlays=True`` additionally removes overlay stores whose
+    creation commit is NOT manifested — the invisible leftovers of a
+    crashed upsert. Opt-in because it assumes NO writer is active: an
+    in-flight upsert's overlay is unmanifested until its final marker,
+    and a concurrent vacuum would destroy it (the whole lineage layer is
+    single-writer; vacuum is a maintenance window op).
+
     Driver-side work is directory-listing sized (one name per partition,
     the same budget the resume anti-join already spends). Returns
-    ``{"orphans": [...], "removed": n}``; ``dry_run`` lists without
-    deleting."""
+    ``{"orphans": [...], "removed": n, "orphan_overlays": [...]}``;
+    ``dry_run`` lists without deleting."""
     import shutil
     from urllib.parse import unquote
 
@@ -213,7 +221,19 @@ def vacuum(spark: SparkSession, root: str, dry_run: bool = False) -> dict:
     if not dry_run:
         for k in orphans:
             shutil.rmtree(on_disk[k])
-    return {"orphans": orphans, "removed": 0 if dry_run else len(orphans)}
+
+    dead_overlays: list[int] = []
+    if orphan_overlays:
+        allowed = committed_ids(root)
+        if allowed is not None:  # a legacy store has no crashed commits
+            for c, od in _overlay_commits(root):
+                if c not in allowed:
+                    dead_overlays.append(c)
+                    if not dry_run:
+                        shutil.rmtree(od)
+    return {"orphans": orphans,
+            "removed": 0 if dry_run else len(orphans) + len(dead_overlays),
+            "orphan_overlays": dead_overlays}
 
 
 # ---------------------------------------------------------------------------
