@@ -124,3 +124,10 @@ def test_delete_where_validation(spark, blocks):
         delete_where(blocks, "tag", kind="str", eq="x", prefix="y")
     with pytest.raises(ValueError, match="not both"):
         delete_where(blocks, "tag", kind="str", eq="x", lo=3)
+
+
+def test_delete_where_kind_discipline(spark, blocks):
+    with pytest.raises(ValueError, match="kind='str'"):
+        delete_where(blocks, "v", eq="x")            # eq on int kind
+    with pytest.raises(ValueError, match="integer/timestamp"):
+        delete_where(blocks, "tag", kind="str", lo=3)  # bounds on str kind

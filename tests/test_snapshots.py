@@ -207,3 +207,23 @@ def test_flatten_resets_read_amplification(spark, tmp_path):
     # history flattening is explicit: the new store starts at commit 1
     from varint_spark.lineage import committed_ids
     assert committed_ids(new_root) == {0, 1}
+
+
+def test_upsert_with_schema_evolution(spark, tmp_path):
+    """An upsert batch carrying a NEW column composes with missing_ok
+    reads: old base rows decode the added column as NULL, overlay rows
+    carry real values — one reader schema spans both epochs."""
+    from varint_spark.lineage import upsert_checkpointed
+
+    root = str(tmp_path / "store")
+    a = _batch(spark, 0, 512)
+    encode_checkpointed(a, root, OPTS)
+
+    up = _batch(spark, 400, 600).withColumn("tag", F.lit("new"))
+    upsert_checkpointed(up, root, OPTS)
+
+    wide = DDL + ", tag string"
+    got = _pdf(read_snapshot(spark, root, wide, missing_ok=True))
+    assert len(got) == 600
+    assert (got[got.event_id < 400].tag.isna()).all()
+    assert (got[got.event_id >= 400].tag == "new").all()

@@ -66,6 +66,13 @@ def delete_where(blocks: DataFrame, filter_col: str, kind: str = "int64",
         raise ValueError("delete_where needs a predicate (lo/hi or a "
                          "string predicate) — a full-table delete is "
                          "drop, not delete")
+    # same kind discipline as decode_blocks_where: numeric bounds against
+    # a string/float block would compare encoded garbage silently
+    if given and kind != "str":
+        raise ValueError(f"{given[0]}= needs kind='str'; got {kind!r}")
+    if not given and kind not in ("int32", "int64", "ts", "tsntz"):
+        raise ValueError("lo/hi bounds need an integer/timestamp kind; "
+                         f"got {kind!r}")
     isin_l = list(isin) if isin is not None else None
     kinds = {filter_col: kind}
 
