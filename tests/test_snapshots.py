@@ -227,3 +227,37 @@ def test_upsert_with_schema_evolution(spark, tmp_path):
     assert len(got) == 600
     assert (got[got.event_id < 400].tag.isna()).all()
     assert (got[got.event_id >= 400].tag == "new").all()
+
+
+def test_table_delete_prunes_before_predicate(spark, tmp_path):
+    """The table-level delete's automatic zone pruning drops whole
+    chunks at the metadata scan on clustered data, and the pruned path
+    answers identically to the unpruned one."""
+    from varint_spark.deletes import delete_where
+    from varint_spark.engine import prune_chunks
+    from varint_spark.lineage import delete_where_checkpointed
+
+    root = str(tmp_path / "store")
+    a = _batch(spark, 0, 1024)  # event_id clustered within chunks
+    encode_checkpointed(a, root, OPTS)
+    blocks = read_blocks(spark, root).drop("pk")
+
+    all_chunks = blocks.filter(F.col("column") == "event_id").count()
+    kept = prune_chunks(blocks, "event_id", lo=100, hi=163) \
+        .filter(F.col("column") == "event_id").count()
+    assert kept < all_chunks  # zone maps genuinely drop chunks here
+
+    pruned_dv = {(r.part_key, r.chunk_id): bytes(r.dv)
+                 for r in delete_where(
+                     prune_chunks(blocks, "event_id", lo=100, hi=163),
+                     "event_id", lo=100, hi=163).collect()}
+    full_dv = {(r.part_key, r.chunk_id): bytes(r.dv)
+               for r in delete_where(blocks, "event_id",
+                                     lo=100, hi=163).collect()}
+    assert pruned_dv == full_dv
+
+    r = delete_where_checkpointed(spark, root, "event_id", lo=100, hi=163)
+    assert r["rows_deleted"] == 64
+    got = _pdf(read_snapshot(spark, root, DDL))
+    pd.testing.assert_frame_equal(
+        got, _pdf(a.filter(~F.col("event_id").between(100, 163))))

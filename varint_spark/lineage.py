@@ -463,9 +463,15 @@ def delete_where_checkpointed(spark: SparkSession, root: str,
     ENCODED form) runs against the base and every manifested overlay, and
     all resulting vectors land under ONE commit id, manifested last —
     crash-atomic like every other table op. Returns the commit id and
-    rows deleted per store."""
+    rows deleted per store.
+
+    Metadata pruning runs automatically first: zone maps for lo/hi,
+    string zones for eq/prefix, Bloom sidecars for eq (all sound —
+    absent stats keep the chunk) — so at 100 TB a selective delete never
+    ships non-intersecting chunks' predicate blocks off disk."""
     _ensure_manifests(spark, root)
     from .deletes import delete_where as _dw
+    from .engine import prune_chunks, prune_chunks_bloom, prune_chunks_str
 
     commit = next_commit(spark, root)
     base_allowed = committed_ids(root)
@@ -479,6 +485,14 @@ def delete_where_checkpointed(spark: SparkSession, root: str,
     rows = 0
     for t in targets:
         blocks = read_blocks(spark, t).drop("pk")
+        if (lo is not None or hi is not None) and kind != "str":
+            blocks = prune_chunks(blocks, filter_col, lo=lo, hi=hi)
+        elif kind == "str" and (eq is not None or prefix is not None):
+            blocks = prune_chunks_str(blocks, filter_col, eq=eq,
+                                      prefix=prefix)
+            if eq is not None:  # no-sidecar chunks are kept, always sound
+                blocks = prune_chunks_bloom(blocks, filter_col, eq,
+                                            kind="str")
         dv = _dw(blocks, filter_col, kind=kind, lo=lo, hi=hi, eq=eq,
                  prefix=prefix, isin=isin, like=like, shared=shared)
         rows += delete_checkpointed(dv, t, commit=commit,
