@@ -56,6 +56,18 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--as-of", type=int, help="commit id (default: latest)")
     s.add_argument("--output", help="parquet path (omit to just count)")
 
+    fl = sub.add_parser("flatten", help="rewrite the MoR table into a "
+                                        "fresh single store (no overlays/DVs)")
+    fl.add_argument("--root", required=True)
+    fl.add_argument("--new-root", required=True)
+    fl.add_argument("--schema", required=True, help="reader DDL")
+    fl.add_argument("--as-of", type=int)
+    fl.add_argument("--group-col", default="conv_id")
+    fl.add_argument("--order-col", default="turn_idx")
+    fl.add_argument("--num-buckets", type=int, default=256)
+    fl.add_argument("--chunk-rows", type=int, default=65_536)
+    fl.add_argument("--salt-span", type=int, default=262_144)
+
     v = sub.add_parser("vacuum", help="GC unreferenced block partitions")
     v.add_argument("--root", required=True)
     v.add_argument("--dry-run", action="store_true")
@@ -95,6 +107,15 @@ def main(argv: list[str] | None = None) -> int:
             snap = spark.read.parquet(args.output)
         summary = {"as_of": args.as_of, "rows": snap.count(),
                    "output": args.output}
+    elif args.op == "flatten":
+        opts = EncodeOptions(num_buckets=args.num_buckets,
+                             chunk_rows=args.chunk_rows,
+                             salt_span=args.salt_span,
+                             group_col=args.group_col,
+                             order_col=args.order_col)
+        summary = lineage.flatten_checkpointed(
+            spark, args.root, args.new_root, args.schema, opts,
+            as_of=args.as_of)
     else:  # vacuum
         summary = lineage.vacuum(spark, args.root, dry_run=args.dry_run,
                                  orphan_overlays=args.orphan_overlays)
