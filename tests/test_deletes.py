@@ -131,3 +131,20 @@ def test_delete_where_kind_discipline(spark, blocks):
         delete_where(blocks, "v", eq="x")            # eq on int kind
     with pytest.raises(ValueError, match="integer/timestamp"):
         delete_where(blocks, "tag", kind="str", lo=3)  # bounds on str kind
+
+
+def test_decode_where_respects_deletes(spark, table, blocks):
+    """Encoded-form predicate reads must not resurrect deleted rows:
+    decode_blocks_where(deletes=) = predicate ∩ not-deleted."""
+    from varint_spark.engine import decode_blocks_where
+
+    dv = delete_where(blocks, "tag", kind="str", eq="t07")
+    got = decode_blocks_where(blocks, DDL, "v", lo=0, deletes=dv)
+    want = table.filter((F.col("v") >= 0) & (F.col("tag") != "t07"))
+    pd.testing.assert_frame_equal(_pdf(got), _pdf(want))
+    # string-predicate path too
+    got2 = decode_blocks_where(blocks, DDL, "tag", None, prefix="t0",
+                               deletes=dv)
+    want2 = table.filter(F.col("tag").startswith("t0")
+                         & (F.col("tag") != "t07"))
+    pd.testing.assert_frame_equal(_pdf(got2), _pdf(want2))

@@ -510,6 +510,13 @@ def make_decode_where_udf(kinds: dict[str, str], out_cols: list[str],
             mask = random_access.str_filter_like(by_col[filter_col], like)
         else:
             mask = random_access.filter_between(by_col[filter_col], lo, hi)
+        if "_dv" in table.column_names:  # deletion vector rides the join
+            dv = table.column("_dv")[0].as_py()
+            if dv is not None:
+                from .codecs import bitmap as _bm
+                mask = mask.copy()
+                offs = _bm.decode(dv)
+                mask[offs] = False
         pamask = None
         arrays = []
         for col in out_cols:
@@ -535,7 +542,8 @@ def decode_blocks_where(blocks: DataFrame, schema_ddl: str, filter_col: str,
                         eq: str | None = None,
                         prefix: str | None = None,
                         isin: list[str] | None = None,
-                        like: str | None = None) -> DataFrame:
+                        like: str | None = None,
+                        deletes: DataFrame | None = None) -> DataFrame:
     """decode_blocks with ``lo <= filter_col <= hi`` (either bound
     optional) pushed INTO the encoded form: the predicate is evaluated
     against each chunk's encoded block
@@ -571,6 +579,9 @@ def decode_blocks_where(blocks: DataFrame, schema_ddl: str, filter_col: str,
         raise ValueError(
             f"encoded-form predicates need an integer/timestamp column; "
             f"{filter_col!r} is {kinds.get(filter_col)!r}")
+    if deletes is not None:
+        from .deletes import join_dv
+        blocks = join_dv(blocks, deletes)
     fn = make_decode_where_udf(kinds, cols, filter_col, lo, hi, eq, prefix,
                                list(isin) if isin is not None else None, like)
     return blocks.groupBy("part_key", "chunk_id").applyInArrow(fn, schema_ddl)
