@@ -235,3 +235,35 @@ def test_groupby_agg_string_groups_and_nulls(spark):
                 F.min("v").alias("mn"), F.max("v").alias("mx"),
                 F.sum("v").alias("s")).collect()}
     assert got == want and None in got  # null group preserved exactly
+
+
+def test_hybrid_aggregates_respect_deletes(spark, enc):
+    """Chunk metadata describes PHYSICAL rows; with deletion vectors the
+    hybrid must drop DV'd chunks to the masked-decode path (the deleted
+    row may be the min) while clean chunks stay metadata-only."""
+    from varint_spark.deletes import delete_where
+
+    blocks, _, kinds = enc
+    # delete the global minimum of v (rid 0 -> v = -2500) and a null-y
+    # stripe of w, concentrated in a few chunks
+    dv = delete_where(blocks, "rid", lo=0, hi=599)
+    got = {r.column: r for r in
+           aggregate_blocks(blocks, ["v", "w"], kinds, deletes=dv).collect()}
+
+    df = spark.range(5000).select(
+        F.col("id").alias("rid"),
+        (F.col("id") * 13 - 2500).alias("v"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.col("id") % 997).alias("w")).filter(F.col("rid") > 599)
+    t = df.agg(F.count("*"), F.count("w"), F.min("v"), F.max("v"),
+               F.sum("v"), F.sum("w"), F.avg("w")).collect()[0]
+    assert got["v"].n_rows == t[0] and got["w"].n_nonnull == t[1]
+    assert (got["v"].min_val, got["v"].max_val) == (t[2], t[3])
+    assert got["v"].sum_val == t[4] and got["w"].sum_val == t[5]
+    assert got["w"].avg_val == pytest.approx(t[6])
+
+    # all chunks deleted entirely -> zero-row aggregates, sum NULL
+    dv_all = delete_where(blocks, "rid", lo=0)
+    z = {r.column: r for r in
+         aggregate_blocks(blocks, ["v"], kinds, deletes=dv_all).collect()}
+    assert z["v"].n_rows == 0 and z["v"].sum_val is None

@@ -77,12 +77,61 @@ def aggregate_blocks_meta(blocks: DataFrame,
 
 
 def aggregate_blocks(blocks: DataFrame, columns: list[str],
-                     kinds: dict[str, str]) -> DataFrame:
+                     kinds: dict[str, str],
+                     deletes: DataFrame | None = None) -> DataFrame:
     """Exact hybrid aggregates: metadata sums where stored, decode-and-sum
     for overflow chunks only. The decode branch filters the blocks scan to
     ``sum_val IS NULL`` chunks of each column — on healthy data that
     branch is empty and everything stays metadata-sized. ``kinds`` maps
-    each column to its engine kind ('int64'/'int32'/'ts'/'tsntz')."""
+    each column to its engine kind ('int64'/'int32'/'ts'/'tsntz').
+
+    ``deletes``: deletion vectors (varint_spark.deletes). Chunk metadata
+    describes the PHYSICAL rows, so a DV'd chunk's count/min/max/sum may
+    all be wrong for the visible table (the deleted row might be the
+    min). Those chunks leave the metadata path entirely and decode with
+    their masks; clean chunks — the overwhelming majority under a
+    selective delete — stay metadata-only. (`aggregate_blocks_meta` has
+    no deletes story by design: metadata alone cannot be corrected —
+    pass the DVs HERE for exact answers over a table with deletes.)"""
+    if deletes is not None:
+        dvkeys = deletes.select("part_key", "chunk_id").distinct()
+        dirty_blocks = blocks.join(dvkeys, ["part_key", "chunk_id"],
+                                   "left_semi")
+        blocks = blocks.join(dvkeys, ["part_key", "chunk_id"], "left_anti")
+        dirty_parts = []
+        for c in columns:
+            kind = kinds[c]
+            dec = decode_blocks(dirty_blocks, f"{c} {_KIND_DDL[kind]}",
+                                kinds={c: kind}, deletes=deletes)
+            v = F.col(c)
+            if kind in ("ts", "tsntz"):
+                v = F.unix_micros(F.to_timestamp(c))
+            dirty_parts.append(dec.agg(
+                F.count(F.lit(1)).alias("_n_d"),
+                F.count(v).alias("_nn_d"),
+                F.min(v).alias("_min_d"), F.max(v).alias("_max_d"),
+                F.sum(v).alias("_sum_d")).withColumn("column", F.lit(c)))
+        dirty = dirty_parts[0]
+        for d_ in dirty_parts[1:]:
+            dirty = dirty.unionByName(d_)
+        base = aggregate_blocks(blocks, columns, kinds)  # clean chunks
+        j = base.join(dirty, "column", "full_outer")
+        z = lambda col: F.coalesce(F.col(col), F.lit(0))  # noqa: E731
+        n_rows = (z("n_rows") + z("_n_d")).alias("n_rows")
+        n_nonnull = (z("n_nonnull") + z("_nn_d")).alias("n_nonnull")
+        # the recursive clean-side call is the exact hybrid: its sum_val
+        # is NULL only when the clean side has no non-null rows, which
+        # coalesce-to-0 handles; no n_sum_missing gating needed here
+        any_nn = (z("n_nonnull") + z("_nn_d")) > 0
+        total = F.when(any_nn, z("sum_val") + z("_sum_d"))
+        return j.select(
+            "column", n_rows, n_nonnull,
+            F.least("min_val", "_min_d").alias("min_val"),
+            F.greatest("max_val", "_max_d").alias("max_val"),
+            total.alias("sum_val"),
+            (total.cast("double") /
+             (z("n_nonnull") + z("_nn_d"))).alias("avg_val"),
+            F.coalesce("n_sum_missing", F.lit(0)).alias("n_sum_missing"))
     stats = _meta_stats(blocks, columns)
     fallbacks = []
     for c in columns:  # driver loop over column NAMES (schema-sized)
