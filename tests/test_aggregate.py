@@ -267,3 +267,46 @@ def test_hybrid_aggregates_respect_deletes(spark, enc):
     z = {r.column: r for r in
          aggregate_blocks(blocks, ["v"], kinds, deletes=dv_all).collect()}
     assert z["v"].n_rows == 0 and z["v"].sum_val is None
+
+
+def test_topk_and_groupby_respect_deletes(spark, enc):
+    """A deleted row must never appear in (or displace) the top-k, and
+    the metadata GROUP BY must re-route DV'd chunks to the masked-decode
+    branch."""
+    from varint_spark.aggregate import groupby_agg_blocks, topk_blocks
+    from varint_spark.deletes import delete_where
+
+    blocks, _, kinds = enc
+    df = spark.range(5000).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 7).cast("string").alias("g"),
+        (F.col("id") * 13 - 2500).alias("v"))
+
+    # delete the top stripe of v (the current top-k lives there)
+    dv = delete_where(blocks, "rid", lo=4900)
+    got = topk_blocks(blocks, "v", 5, "rid bigint, v bigint",
+                      kinds={"rid": "int64", "v": "int64"}, deletes=dv)
+    want = df.filter(F.col("rid") < 4900).orderBy(F.col("v").desc()) \
+        .limit(5).select("rid", "v")
+    assert [tuple(r) for r in got.collect()] == \
+        [tuple(r) for r in want.collect()]
+
+    # groupby half needs the group column stored: fresh store with g
+    opts = EncodeOptions(num_buckets=3, chunk_rows=512, salt_span=1 << 20,
+                         group_col="g", order_col="rid")
+    gkinds = {"rid": "int64", "g": "str", "v": "int64"}
+    gblocks = encode_transcripts(df, opts, kinds=gkinds).cache()
+    dv2 = delete_where(gblocks, "rid", lo=4900)
+    gb = {r[0]: (r.n_rows, r.sum_val) for r in
+          groupby_agg_blocks(gblocks, "g", "v", kinds=gkinds,
+                             deletes=dv2).collect()}
+    truth = {r.g: (r[1], r[2]) for r in
+             df.filter(F.col("rid") < 4900).groupBy("g")
+             .agg(F.count("*"), F.sum("v")).collect()}
+    assert gb == truth
+    # and without deletes the fast path result matches the plain scan
+    gb0 = {r[0]: (r.n_rows, r.sum_val) for r in
+           groupby_agg_blocks(gblocks, "g", "v", kinds=gkinds).collect()}
+    truth0 = {r.g: (r[1], r[2]) for r in
+              df.groupBy("g").agg(F.count("*"), F.sum("v")).collect()}
+    assert gb0 == truth0

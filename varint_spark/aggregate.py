@@ -154,7 +154,8 @@ def aggregate_blocks(blocks: DataFrame, columns: list[str],
 
 
 def groupby_agg_blocks(blocks: DataFrame, group_col: str, val_col: str,
-                       kinds: dict[str, str]) -> DataFrame:
+                       kinds: dict[str, str],
+                       deletes: DataFrame | None = None) -> DataFrame:
     """Metadata-accelerated ``GROUP BY group_col`` aggregation of
     ``val_col`` (COUNT/SUM/MIN/MAX): on a group-clustered layout (the
     engine's default — rows sort by (group, order) inside each
@@ -191,6 +192,12 @@ def groupby_agg_blocks(blocks: DataFrame, group_col: str, val_col: str,
               & (F.col("_gnulls") == 0)
               & (F.col("sum_val").isNotNull()
                  | (F.col("count") == F.col("null_count"))))
+    if deletes is not None:
+        # chunk stats describe PHYSICAL rows — a DV'd chunk's stored
+        # count/sum would over-claim, so those chunks join the decode
+        # branch (masked there) regardless of their zone shape
+        meta = meta.join(deletes.select("part_key", "chunk_id"),
+                         ["part_key", "chunk_id"], "left_anti")
 
     fast = meta.filter(single).select(
         F.col("_glo").alias(group_col),
@@ -208,7 +215,7 @@ def groupby_agg_blocks(blocks: DataFrame, group_col: str, val_col: str,
     dec = decode_blocks(slow_blocks, f"{group_col} {g_ddl}, "
                         f"{val_col} {_KIND_DDL[vkind]}",
                         kinds={group_col: gkind, val_col: vkind},
-                        columns=[group_col, val_col])
+                        columns=[group_col, val_col], deletes=deletes)
     v = F.col(val_col)
     if vkind in ("ts", "tsntz"):
         v = F.unix_micros(F.to_timestamp(val_col))  # zone int64 domain
@@ -275,7 +282,8 @@ def approx_distinct_blocks(blocks: DataFrame,
 
 
 def topk_prune(blocks: DataFrame, column: str, k: int,
-               descending: bool = True) -> DataFrame:
+               descending: bool = True,
+               deletes: DataFrame | None = None) -> DataFrame:
     """Zone-map pruning for ``ORDER BY column [DESC] LIMIT k``: only the
     chunks that CAN hold a top-k value survive.
 
@@ -299,6 +307,19 @@ def topk_prune(blocks: DataFrame, column: str, k: int,
                          & F.col("min_val").isNotNull()) \
         .select("part_key", "chunk_id", "min_val", "max_val",
                 (F.col("count") - F.col("null_count")).alias("_nn"))
+    if deletes is not None:
+        # zone stats count PHYSICAL rows; with deletion vectors the
+        # prefix walk must not claim deleted values or the threshold
+        # overshoots and drops contributing chunks (unsound). Subtracting
+        # the full n_deleted (deleted rows might have been nulls) only
+        # UNDER-counts -> a lower threshold -> extra kept chunks: sound.
+        side = deletes.select("part_key", "chunk_id",
+                              F.col("n_deleted").alias("_nd"))
+        meta = meta.join(side, ["part_key", "chunk_id"], "left") \
+            .withColumn("_nn", F.greatest(
+                F.col("_nn") - F.coalesce(F.col("_nd"), F.lit(0)),
+                F.lit(0))) \
+            .drop("_nd")
     guard_col = F.col("min_val") if descending else F.col("max_val")
     order = guard_col.desc() if descending else guard_col.asc()
     w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
@@ -326,12 +347,15 @@ def topk_prune(blocks: DataFrame, column: str, k: int,
 
 def topk_blocks(blocks: DataFrame, column: str, k: int, schema_ddl: str,
                 kinds: dict[str, str] | None = None,
-                descending: bool = True) -> DataFrame:
+                descending: bool = True,
+                deletes: DataFrame | None = None) -> DataFrame:
     """Exact ``SELECT ... ORDER BY column [DESC] LIMIT k`` over the block
     store: :func:`topk_prune` drops non-candidate chunks at the metadata
     scan, only survivors decode, and Spark's TakeOrdered finishes — no
-    global sort shuffle, no full-table decode."""
-    pruned = topk_prune(blocks, column, k, descending)
-    out = decode_blocks(pruned, schema_ddl, kinds=kinds)
+    global sort shuffle, no full-table decode. ``deletes``: deletion
+    vectors — the prune walk discounts deleted rows and the decode masks
+    them, so a deleted row can never appear in (or displace) the top-k."""
+    pruned = topk_prune(blocks, column, k, descending, deletes=deletes)
+    out = decode_blocks(pruned, schema_ddl, kinds=kinds, deletes=deletes)
     order = F.col(column).desc() if descending else F.col(column).asc()
     return out.orderBy(order).limit(k)
