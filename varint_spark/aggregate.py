@@ -246,7 +246,13 @@ def approx_distinct_blocks(blocks: DataFrame,
     partition folds its sketches in ``mapInArrow`` (one partial row per
     (partition, column)), then one ``applyInArrow`` per column folds the
     partials and emits the estimate — the driver never holds a sketch.
-    Columns whose chunks lack sketches raise (the sidecar is opt-in)."""
+    Columns whose chunks lack sketches raise (the sidecar is opt-in).
+
+    Deletion vectors: sketches are built at encode time over PHYSICAL
+    rows and cannot be un-merged, so over a table with deletes this
+    estimates distinct values EVER INSERTED (an upper-ish bound on the
+    visible count) — already approximate by contract; recompute sketches
+    via compaction fold-in when deletes are heavy."""
     import pyarrow as pa
 
     meta = blocks.filter(F.col("column").isin(list(columns))) \
