@@ -80,3 +80,28 @@ def test_shared_digest_mismatch_detected(spark):
     bc2 = spark.sparkContext.broadcast(tampered)
     with pytest.raises(Exception, match="digest"):
         decode_blocks(blocks, transcripts.TRANSCRIPT_DDL, shared=bc2).count()
+
+
+def test_delete_where_on_shared_dict_column(spark):
+    """Deletion vectors built from a SHARED-dictionary column: the
+    encoded-form predicate resolves codes through the broadcast table,
+    and decode-with-DV (also shared) matches the plain filter."""
+    from varint_spark.deletes import delete_where
+
+    df = transcripts.generate_spark(spark, n_conversations=150, n_hot=1,
+                                    hot_turns=3000)
+    df.cache().count()
+    shared = build_shared_tables(df)
+    bc = spark.sparkContext.broadcast(shared)
+    blocks = encode_transcripts(df, OPTS, shared=bc).cache()
+    role_codecs = {r.codec for r in blocks.filter("column = 'role'")
+                   .select("codec").distinct().collect()}
+    assert any("shared" in c for c in role_codecs)  # the path under test
+
+    dv = delete_where(blocks, "role", kind="str", eq="assistant", shared=bc)
+    got = decode_blocks(blocks, transcripts.TRANSCRIPT_DDL, shared=bc,
+                        deletes=dv)
+    want = df.filter(F.col("role") != "assistant")
+    left = want.orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
+    right = got.orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(left, right)
