@@ -49,6 +49,8 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--num-buckets", type=int, default=256)
     u.add_argument("--chunk-rows", type=int, default=65_536)
     u.add_argument("--salt-span", type=int, default=262_144)
+    u.add_argument("--dedup-col", help="keep only the max-valued row "
+                                       "per key within the batch (CDC)")
 
     s = sub.add_parser("snapshot", help="export a table version to parquet")
     s.add_argument("--root", required=True)
@@ -98,7 +100,8 @@ def main(argv: list[str] | None = None) -> int:
                              salt_span=args.salt_span,
                              group_col=args.group_col,
                              order_col=args.order_col)
-        summary = lineage.upsert_checkpointed(df, args.root, opts)
+        summary = lineage.upsert_checkpointed(df, args.root, opts,
+                                              dedup_col=args.dedup_col)
     elif args.op == "snapshot":
         snap = lineage.read_snapshot(spark, args.root, args.schema,
                                      as_of=args.as_of)

@@ -261,3 +261,27 @@ def test_table_delete_prunes_before_predicate(spark, tmp_path):
     got = _pdf(read_snapshot(spark, root, DDL))
     pd.testing.assert_frame_equal(
         got, _pdf(a.filter(~F.col("event_id").between(100, 163))))
+
+
+def test_upsert_dedup_col_last_wins(spark, tmp_path):
+    """Batch upserts dedup within the batch by max(dedup_col) per key —
+    the same CDC contract as the streaming path."""
+    from varint_spark.lineage import upsert_checkpointed
+
+    root = str(tmp_path / "store")
+    a = _batch(spark, 0, 256)
+    encode_checkpointed(a, root, OPTS)
+
+    ids = np.array([10, 10, 10, 300], dtype=np.int64)
+    up = spark.createDataFrame(pd.DataFrame(
+        {"event_id": ids, "g": ids % 5,
+         "v": np.array([-1, -2, -3, -9], dtype=np.int64),
+         "seq": np.array([1, 3, 2, 1], dtype=np.int64)}))
+    upsert_checkpointed(up, root, OPTS, dedup_col="seq")
+
+    got = read_snapshot(spark, root, DDL + ", seq bigint",
+                        missing_ok=True).toPandas()
+    got = got.set_index("event_id").sort_index()
+    assert got.loc[10].v == -2          # seq 3 wins
+    assert got.loc[300].v == -9
+    assert got.index.is_unique and len(got) == 257

@@ -388,7 +388,7 @@ def read_snapshot(spark: SparkSession, root: str, schema_ddl: str,
 def upsert_checkpointed(df: DataFrame, root: str,
                         opts: EncodeOptions = EncodeOptions(),
                         kinds: dict[str, str] | None = None,
-                        shared=None) -> dict:
+                        shared=None, dedup_col: str | None = None) -> dict:
     """Merge-on-read UPSERT (the MERGE INTO ... WHEN MATCHED UPDATE /
     WHEN NOT MATCHED INSERT shape): rows keyed by (group_col, order_col)
     replace any stored row with the same key and insert otherwise —
@@ -407,11 +407,22 @@ def upsert_checkpointed(df: DataFrame, root: str,
     stays exact: a snapshot before this commit shows the old rows, one
     at-or-after shows exactly the new ones. Overlay proliferation is the
     usual MoR trade — fold overlays back with compact_blocks + a base
-    re-encode when their count grows."""
+    re-encode when their count grows.
+
+    ``dedup_col``: a batch carrying several rows for one key (CDC
+    updates) keeps only the row with the greatest ``dedup_col`` per key
+    (make the sequence unique); without it the batch must be key-unique
+    or duplicate keys both survive as visible rows."""
     from .deletes import delete_matching_keys
     from .engine import kinds_for_schema
 
     spark = df.sparkSession
+    if dedup_col is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy(opts.group_col, opts.order_col) \
+            .orderBy(F.col(dedup_col).desc())
+        df = df.withColumn("_rn", F.row_number().over(w)) \
+            .filter(F.col("_rn") == 1).drop("_rn")
     _ensure_manifests(spark, root)
     commit = next_commit(spark, root)
     kinds = kinds or kinds_for_schema(df.schema)

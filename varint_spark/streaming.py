@@ -200,15 +200,9 @@ def upsert_stream(spark: SparkSession, input_dir: str, schema_ddl: str,
     from .lineage import upsert_checkpointed
 
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if dedup_col is not None:
-            from pyspark.sql import Window
-            w = Window.partitionBy(opts.group_col, opts.order_col) \
-                .orderBy(F.col(dedup_col).desc())
-            batch_df = batch_df.withColumn("_rn", F.row_number().over(w)) \
-                .filter(F.col("_rn") == 1).drop("_rn")
         if batch_df.isEmpty():
             return
-        upsert_checkpointed(batch_df, root, opts)
+        upsert_checkpointed(batch_df, root, opts, dedup_col=dedup_col)
 
     stream = spark.readStream.schema(schema_ddl).parquet(input_dir)
     writer = (
