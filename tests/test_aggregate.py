@@ -237,6 +237,34 @@ def test_groupby_agg_string_groups_and_nulls(spark):
     assert got == want and None in got  # null group preserved exactly
 
 
+def test_groupby_agg_ts_groups(spark):
+    """Timestamp group columns: the fast branch emits zone-domain epoch-µs
+    keys, so the slow branch must convert via unix_micros — cast('long')
+    yields epoch-SECONDS and the branches never merge (ADVICE r6 high)."""
+    from varint_spark.aggregate import groupby_agg_blocks
+
+    n = 12_000
+    df = spark.range(n).select(
+        F.col("id").alias("rid"),
+        F.expr("timestamp_micros(1700000000000000 + (id div 2000) * 3600000000)")
+        .alias("grp"),
+        (F.col("id") * 3 - 50).alias("v"))
+    opts = EncodeOptions(num_buckets=2, chunk_rows=512, salt_span=1 << 20,
+                         group_col="grp", order_col="rid")
+    kinds = {"rid": "int64", "grp": "ts", "v": "int64"}
+    blocks = encode_transcripts(df, opts, kinds=kinds).cache()
+    out = groupby_agg_blocks(blocks, "grp", "v", kinds)
+    got = {r.grp: (r.n_rows, r.min_val, r.max_val, r.sum_val)
+           for r in out.collect()}
+    want = {r.g: (r.n, r.mn, r.mx, r.s)
+            for r in df.groupBy(F.unix_micros("grp").alias("g")).agg(
+                F.count("*").alias("n"), F.min("v").alias("mn"),
+                F.max("v").alias("mx"), F.sum("v").alias("s")).collect()}
+    assert got == want
+    # exactly one row per true group: the two branches actually merged
+    assert len(got) == df.select("grp").distinct().count()
+
+
 def test_hybrid_aggregates_respect_deletes(spark, enc):
     """Chunk metadata describes PHYSICAL rows; with deletion vectors the
     hybrid must drop DV'd chunks to the masked-decode path (the deleted

@@ -225,6 +225,11 @@ def groupby_agg_blocks(blocks: DataFrame, group_col: str, val_col: str,
         F.coalesce(F.sum(v), F.lit(0)).alias("sum_val"))
     if g_is_str:
         slow = slow.withColumn(group_col, F.col(group_col).cast("string"))
+    elif gkind in ("ts", "tsntz"):
+        # zone int64 domain is epoch-µs; cast('long') would yield epoch
+        # SECONDS and the two branches would never merge (ADVICE r6 high)
+        slow = slow.withColumn(group_col,
+                               F.unix_micros(F.to_timestamp(group_col)))
     else:
         slow = slow.withColumn(group_col, F.col(group_col).cast("long"))
 
