@@ -19,11 +19,14 @@ import numpy as np
 from . import leb128, zigzag
 
 
-def encode(values: np.ndarray) -> bytes:
+def encode(values: np.ndarray, deltas: np.ndarray | None = None) -> bytes:
+    """``deltas``: optional precomputed ``np.diff(v, prepend=0)`` (the
+    selector shares one diff pass across sizers and the winner encode)."""
     v = np.ascontiguousarray(values, dtype=np.int64)
     if len(v) == 0:
         return b""
-    deltas = np.diff(v, prepend=np.int64(0))  # first value = delta from 0
+    if deltas is None:
+        deltas = np.diff(v, prepend=np.int64(0))  # first value = delta from 0
     return leb128.encode(zigzag.encode(deltas))
 
 
@@ -34,10 +37,11 @@ def decode(buf: memoryview | bytes, count: int) -> np.ndarray:
     return np.cumsum(deltas, dtype=np.int64)
 
 
-def encoded_size(values: np.ndarray) -> int:
+def encoded_size(values: np.ndarray, deltas: np.ndarray | None = None) -> int:
     """Analytic size (no allocation of the output) for the selector."""
     v = np.ascontiguousarray(values, dtype=np.int64)
     if len(v) == 0:
         return 0
-    deltas = np.diff(v, prepend=np.int64(0))
+    if deltas is None:
+        deltas = np.diff(v, prepend=np.int64(0))
     return int(leb128.encoded_sizes(zigzag.encode(deltas)).sum())

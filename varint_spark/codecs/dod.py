@@ -35,21 +35,21 @@ import numpy as np
 from . import blocks, leb128, zigzag
 
 
-def _stream(v: np.ndarray) -> np.ndarray:
+def _stream(v: np.ndarray, deltas: np.ndarray | None = None) -> np.ndarray:
     with np.errstate(over="ignore"):
-        d = np.diff(v, prepend=np.int64(0))   # d[0] = v0
+        d = deltas if deltas is not None else np.diff(v, prepend=np.int64(0))
         x = np.diff(d, prepend=np.int64(0))   # x[0] = v0
     x[1:2] = d[1:2]                           # x[1] = first delta (if n > 1)
     return x
 
 
-def encode(values: np.ndarray, encode_int_block=None) -> bytes:
+def prepare(values: np.ndarray, deltas: np.ndarray | None = None):
+    """-> (varint floor, GCD-scaled stream, scale) — one shared pass for
+    the selector's pre-filter AND the eventual encode (previously the
+    stream + GCD were computed twice when the filter passed).
+    ``deltas``: optional precomputed ``np.diff(v, prepend=0)``."""
     v = np.ascontiguousarray(values, dtype=np.int64)
-    if len(v) == 0:
-        return b""
-    if encode_int_block is None:
-        from ..selector import _encode_int_block_nested as encode_int_block  # noqa: PLC0415
-    x = _stream(v)
+    x = _stream(v, deltas)
     # |INT64_MIN| overflows np.abs -> clamp unusable scales to 1, exactly
     # as segdelta does (segdelta.py:58-63)
     with np.errstate(over="ignore"):
@@ -57,6 +57,19 @@ def encode(values: np.ndarray, encode_int_block=None) -> bytes:
     scale = g if 1 < g < 2**63 else 1
     if scale > 1:
         x = x // scale
+    floor = int(leb128.encoded_sizes(zigzag.encode(x)).sum())
+    return floor, x, scale
+
+
+def encode(values: np.ndarray, encode_int_block=None, prepared=None) -> bytes:
+    """``prepared``: optional :func:`prepare` output to skip the stream
+    recomputation."""
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    if len(v) == 0:
+        return b""
+    if encode_int_block is None:
+        from ..selector import _encode_int_block_nested as encode_int_block  # noqa: PLC0415
+    _, x, scale = prepared if prepared is not None else prepare(v)
     return blocks.put_uvarint(scale) + encode_int_block(x)
 
 
@@ -92,12 +105,7 @@ def varint_floor(values: np.ndarray) -> int:
     v = np.ascontiguousarray(values, dtype=np.int64)
     if len(v) == 0:
         return 0
-    x = _stream(v)
-    with np.errstate(over="ignore"):
-        g = int(np.gcd.reduce(np.abs(x)))
-    if 1 < g < 2**63:
-        x = x // g
-    return int(leb128.encoded_sizes(zigzag.encode(x)).sum())
+    return prepare(v)[0]
 
 
 def encoded_size(values: np.ndarray) -> int:

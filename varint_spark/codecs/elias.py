@@ -209,9 +209,11 @@ def decode(buf: bytes | memoryview, count: int) -> np.ndarray:
     return _unzigzag(decode_stream(buf, count) - _U64(1))
 
 
-def encoded_size(v: np.ndarray) -> int:
-    """Exact bytes of encode(v); sentinel 2^62 when uncodable (INT64_MIN)."""
-    zz = _zigzag(np.ascontiguousarray(v, dtype=np.int64))
+def encoded_size(v: np.ndarray, zz: np.ndarray | None = None) -> int:
+    """Exact bytes of encode(v); sentinel 2^62 when uncodable (INT64_MIN).
+    ``zz``: optional precomputed zigzag(v) (selector shares one pass)."""
+    if zz is None:
+        zz = _zigzag(np.ascontiguousarray(v, dtype=np.int64))
     if len(zz) == 0:
         return 0
     if zz.max() == _OVERFLOW:
@@ -279,9 +281,11 @@ def decode_delta_code(buf: bytes | memoryview, count: int) -> np.ndarray:
     return _unzigzag(decode_stream_delta_code(buf, count) - _U64(1))
 
 
-def encoded_size_delta_code(v: np.ndarray) -> int:
-    """Exact bytes of encode_delta_code(v); 2^62 sentinel when uncodable."""
-    zz = _zigzag(np.ascontiguousarray(v, dtype=np.int64))
+def encoded_size_delta_code(v: np.ndarray, zz: np.ndarray | None = None) -> int:
+    """Exact bytes of encode_delta_code(v); 2^62 sentinel when uncodable.
+    ``zz``: optional precomputed zigzag(v)."""
+    if zz is None:
+        zz = _zigzag(np.ascontiguousarray(v, dtype=np.int64))
     if len(zz) == 0:
         return 0
     if zz.max() == _OVERFLOW:
@@ -322,13 +326,15 @@ def decode_delta(buf: bytes | memoryview, count: int) -> np.ndarray:
     return out.view(np.int64)
 
 
-def encoded_size_delta(v: np.ndarray) -> int:
+def encoded_size_delta(v: np.ndarray, zzd: np.ndarray | None = None) -> int:
+    """``zzd``: optional precomputed zigzag of the wrap-domain successive
+    deltas (== zigzag of ``np.diff(v)``, two's-complement wrap)."""
     v = np.ascontiguousarray(v, dtype=np.int64)
     if len(v) == 0:
         return 0
     if len(v) == 1:
         return 8
-    zz = _zigzag(_wrap_deltas(v))
+    zz = zzd if zzd is not None else _zigzag(_wrap_deltas(v))
     if zz.max() == _OVERFLOW:
         return 1 << 62
     return 8 + _stream_size(zz + _U64(1))

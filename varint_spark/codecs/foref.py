@@ -47,11 +47,13 @@ def decode(buf: memoryview | bytes, count: int) -> np.ndarray:
     return (offs + np.int64(mn).astype(np.uint64)).view(np.int64)
 
 
-def encoded_size(values: np.ndarray) -> int:
+def encoded_size(values: np.ndarray, mn_offs=None) -> int:
+    """``mn_offs``: optional precomputed ``(min, offsets)`` from
+    :func:`_offsets` — the selector shares one pass across FOR and PFOR."""
     v = np.ascontiguousarray(values, dtype=np.int64)
     if len(v) == 0:
         return 0
-    mn, offs = _offsets(v)
+    mn, offs = mn_offs if mn_offs is not None else _offsets(v)
     width = bitpack.bits_needed(int(offs.max()))
     zz = int(zigzag.encode(np.array([mn], dtype=np.int64))[0])
     return int(leb128.encoded_sizes(np.array([zz], dtype=np.uint64))[0]) + 1 + bitpack.packed_size(len(v), width)

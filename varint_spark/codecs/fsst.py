@@ -37,16 +37,29 @@ def _pair_codes(corpus: np.ndarray) -> np.ndarray:
     return out
 
 
-def _match_mask(pairs: np.ndarray, n_corpus: int, sym_lookup: np.ndarray) -> np.ndarray:
+_IDX32 = np.arange(1 << 16, dtype=np.int32)  # grown on demand by _idx32
+
+
+def _idx32(n: int) -> np.ndarray:
+    """Cached read-only arange — the match kernel needs one per call and
+    the allocation shows up at profile scale."""
+    global _IDX32
+    if len(_IDX32) < n:
+        _IDX32 = np.arange(n, dtype=np.int32)
+    return _IDX32[:n]
+
+
+def _match_mask(pairs: np.ndarray, n_corpus: int, match_lut: np.ndarray) -> np.ndarray:
     """Boolean mask of positions starting a kept (non-overlapping) symbol.
 
+    ``match_lut``: bool[65536], True where the pair code has a symbol.
     Greedy-left resolution: within each maximal run of consecutive matches
     keep every other one — computed via a running maximum of run-start
     indices (int32 throughout: the per-chunk corpus is ≪ 2^31 bytes)."""
-    m = sym_lookup[pairs] >= 0
+    m = match_lut[pairs]
     if not m.any():
         return np.zeros(n_corpus, dtype=bool)
-    idx = np.arange(len(m), dtype=np.int32)
+    idx = _idx32(len(m))
     is_run_start = m.copy()
     is_run_start[1:] &= ~m[:-1]
     run_start = np.where(is_run_start, idx, np.int32(-1))
@@ -73,28 +86,33 @@ def _compress_round(corpus: np.ndarray, free_codes: np.ndarray, max_syms: int):
         return None
     sym_lookup = np.full(65536, -1, dtype=np.int32)
     sym_lookup[top] = np.arange(len(top), dtype=np.int32)
-    keep = _match_mask(pairs, len(corpus), sym_lookup)
-    covered_second = np.empty(len(keep), dtype=bool)
-    covered_second[0] = False
-    covered_second[1:] = keep[:-1]
-    out_sizes = np.ones(len(keep), dtype=np.int64)
-    out_sizes[covered_second] = 0
-    offsets = np.empty(len(keep), dtype=np.int64)
-    offsets[0] = 0
-    np.cumsum(out_sizes[:-1], out=offsets[1:])
-    total = int(out_sizes.sum())
-    if total + 3 * len(top) + 2 >= len(corpus):  # not worth the table bytes
-        return None
+    keep = _match_mask(pairs, len(corpus), sym_lookup >= 0)
+    out, kept_ranks, kept_pairs = _emit_round(corpus, pairs, keep)
+    if len(out) + 3 * len(top) + 2 >= len(corpus):
+        return None  # not worth the table bytes
     codes = free_codes[: len(top)].astype(np.uint8)
-    out = np.empty(total, dtype=np.uint8)
-    kept_pairs = pairs[keep[:-1]] if len(corpus) > 1 else pairs[:0]
-    out[offsets[keep]] = codes[sym_lookup[kept_pairs]]
-    lit = ~keep & ~covered_second
-    out[offsets[lit]] = corpus[lit]
+    out[kept_ranks] = codes[sym_lookup[kept_pairs]]
     sym_pairs = np.empty((len(top), 2), dtype=np.uint8)
     sym_pairs[:, 0] = top // 256
     sym_pairs[:, 1] = top % 256
     return codes, sym_pairs, out
+
+
+def _emit_round(corpus: np.ndarray, pairs: np.ndarray, keep: np.ndarray):
+    """Shared output builder for one round: every non-covered input byte
+    survives (kept pair-starts get overwritten with their symbol code by
+    the caller). Returns (out, kept output positions, kept pair codes) —
+    one boolean compress + one int32 cumsum instead of the previous
+    ones/scatter/int64-cumsum/double-scatter pipeline (bytes identical)."""
+    covered_second = np.empty(len(keep), dtype=bool)
+    covered_second[0] = False
+    covered_second[1:] = keep[:-1]
+    surv = ~covered_second
+    ranks = np.cumsum(surv, dtype=np.int32)
+    out = corpus[surv]
+    kept_ranks = ranks[keep] - 1  # output slot of each kept pair start
+    kept_pairs = pairs[keep[:-1]] if len(corpus) > 1 else pairs[:0]
+    return out, kept_ranks, kept_pairs
 
 
 def _train_and_apply(corpus: np.ndarray) -> tuple[list, np.ndarray] | None:
@@ -171,20 +189,9 @@ def apply_tables(corpus: np.ndarray, tables: bytes) -> np.ndarray | None:
         pair_vals = sym_pairs[:, 0].astype(np.int32) * 256 + sym_pairs[:, 1].astype(np.int32)
         sym_lookup[pair_vals] = np.arange(len(codes), dtype=np.int32)
         pairs = _pair_codes(c) if len(c) > 1 else np.empty(0, dtype=np.uint16)
-        keep = _match_mask(pairs, len(c), sym_lookup)
-        covered_second = np.empty(len(keep), dtype=bool)
-        covered_second[0] = False
-        covered_second[1:] = keep[:-1]
-        out_sizes = np.ones(len(keep), dtype=np.int64)
-        out_sizes[covered_second] = 0
-        offsets = np.empty(len(keep), dtype=np.int64)
-        offsets[0] = 0
-        np.cumsum(out_sizes[:-1], out=offsets[1:])
-        out = np.empty(int(out_sizes.sum()), dtype=np.uint8)
-        kept_pairs = pairs[keep[:-1]] if len(c) > 1 else pairs[:0]
-        out[offsets[keep]] = codes[sym_lookup[kept_pairs]]
-        lit = ~keep & ~covered_second
-        out[offsets[lit]] = c[lit]
+        keep = _match_mask(pairs, len(c), sym_lookup >= 0)
+        out, kept_ranks, kept_pairs = _emit_round(c, pairs, keep)
+        out[kept_ranks] = codes[sym_lookup[kept_pairs]]
         c = out
     return c
 

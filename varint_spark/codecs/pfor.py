@@ -91,12 +91,13 @@ def decode(buf: memoryview | bytes, count: int) -> np.ndarray:
     return (offs + np.int64(mn).astype(np.uint64)).view(np.int64)
 
 
-def encoded_size(values: np.ndarray) -> int:
-    """Analytic size via the same cost sweep encode uses (exact)."""
+def encoded_size(values: np.ndarray, mn_offs=None) -> int:
+    """Analytic size via the same cost sweep encode uses (exact).
+    ``mn_offs``: optional precomputed ``(min, offsets)``."""
     v = np.ascontiguousarray(values, dtype=np.int64)
     if len(v) == 0:
         return 0
-    mn, offs = _offsets(v)
+    mn, offs = mn_offs if mn_offs is not None else _offsets(v)
     width = _best_width(offs)
     limit = np.uint64((1 << width) - 1) if width < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
     exc_mask = offs > limit

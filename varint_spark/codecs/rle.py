@@ -53,11 +53,14 @@ def decode(buf: memoryview | bytes, count: int) -> np.ndarray:
     return np.repeat(run_vals, lengths)
 
 
-def encoded_size(values: np.ndarray) -> int:
+def encoded_size(values: np.ndarray, starts: np.ndarray | None = None) -> int:
+    """``starts``: optional precomputed :func:`run_bounds` output (the
+    selector derives it from its shared diff pass)."""
     v = np.ascontiguousarray(values, dtype=np.int64)
     if len(v) == 0:
         return 0
-    starts = run_bounds(v)
+    if starts is None:
+        starts = run_bounds(v)
     lengths = np.diff(np.append(starts, len(v))).astype(np.uint64)
     sz = int(leb128.encoded_sizes(lengths).sum())
     sz += int(leb128.encoded_sizes(zigzag.encode(v[starts])).sum())

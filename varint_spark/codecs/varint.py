@@ -28,8 +28,13 @@ def decode(buf: memoryview | bytes, count: int) -> np.ndarray:
     return zigzag.decode(leb128.decode(buf, count))
 
 
-def encoded_size(values: np.ndarray) -> int:
-    """Analytic stream size — the reference-suite cost model."""
+def encoded_size(values: np.ndarray, zz_sizes: np.ndarray | None = None) -> int:
+    """Analytic stream size — the reference-suite cost model.
+    ``zz_sizes``: optional precomputed ``leb128.encoded_sizes(zigzag(v))``
+    (the engine computes it once for the varint_bytes bookkeeping and the
+    selector's floor)."""
+    if zz_sizes is not None:
+        return int(zz_sizes.sum())
     v = np.ascontiguousarray(values, dtype=np.int64)
     if len(v) == 0:
         return 0

@@ -38,7 +38,7 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from .codecs import varint
+from .codecs import leb128, zigzag
 from .selector import codec_name_of, decode_column, encode_column
 
 # Logical kinds: every column maps to an int64 plane or a utf8 plane before
@@ -221,7 +221,10 @@ def _encode_chunk_rows(columns: dict[str, pa.Array], n: int, part_key: str,
             raw_bytes = 8 * n
             dense = arr.drop_null() if arr.null_count else arr
             dv = dense.to_numpy(zero_copy_only=False).astype(np.int64)
-            vb = varint.encoded_size(dv)
+            # one zigzag+size pass serves both the varint_bytes bookkeeping
+            # and the selector's LEB128 floor (previously computed twice)
+            zz_sizes = leb128.encoded_sizes(zigzag.encode(dv))
+            vb = int(zz_sizes.sum())
             if len(dv) and kind != "f64":  # zone-map stats (chunk pruning)
                 mn, mx = int(dv.min()), int(dv.max())
                 sv = _exact_sum(dv)  # aggregate pushdown (aggregate_blocks)
@@ -233,7 +236,8 @@ def _encode_chunk_rows(columns: dict[str, pa.Array], n: int, part_key: str,
                         sketch = hll_mod.build(hv, hll_p)
             block = encode_column(arr, "f64" if kind == "f64" else "int",
                                   segments=segments,
-                                  f64_precision=f64_precision if kind == "f64" else None)
+                                  f64_precision=f64_precision if kind == "f64" else None,
+                                  dense_np=dv, zz_sizes=zz_sizes)
         else:
             lens = pa.compute.binary_length(arr)
             raw_bytes = int(pa.compute.sum(lens).as_py() or 0) + 4 * n  # data + 4B offsets

@@ -23,7 +23,7 @@ from dataclasses import dataclass
 import numpy as np
 import pyarrow as pa
 
-from .codecs import blocks, bitpack, bp128, delta, dict_codec, dod, elias, f64lossy, f64xor, foref, leb128, matrix, pfor, plain, rle, segdelta, strings, varint
+from .codecs import blocks, bitpack, bp128, delta, dict_codec, dod, elias, f64lossy, f64xor, foref, leb128, matrix, pfor, plain, rle, segdelta, strings, varint, zigzag
 from .codecs.blocks import (
     BP128_DELTA, DELTA, DELTA_GAMMA, DICT_INT, DICT_STR, DICT_STR_SHARED, DOD, ELIAS_DELTA, ELIAS_GAMMA,
     F64_LOSSY, F64_XOR, FOR, FSST_STR,
@@ -52,12 +52,19 @@ class IntStats:
     outlier_ratio: float
 
 
-def analyze_ints(v: np.ndarray) -> IntStats:
+def analyze_ints(v: np.ndarray, diffs: np.ndarray | None = None,
+                 mn: int | None = None, mx: int | None = None,
+                 offs: np.ndarray | None = None) -> IntStats:
+    """``diffs``/``mn``/``mx``/``offs``: optional precomputed ``np.diff(v)``,
+    min, max and FOR offsets — the selector computes each ONCE and shares
+    them with the candidate sizers (the stats themselves are unchanged)."""
     n = len(v)
     if n == 0:
         return IntStats(0, 0, 0, True, 0.0, 0.0, 0.0, 0.0)
-    mn, mx = int(v.min()), int(v.max())
-    diffs = np.diff(v)
+    if mn is None or mx is None:
+        mn, mx = int(v.min()), int(v.max())
+    if diffs is None:
+        diffs = np.diff(v)
     is_sorted = bool(n == 1 or (diffs >= 0).all())
     sample = v[::10] if n > SAMPLE_THRESHOLD else v
     unique_ratio = len(np.unique(sample)) / len(sample)
@@ -65,8 +72,10 @@ def analyze_ints(v: np.ndarray) -> IntStats:
     run_ratio = n_runs / n
     avg_delta = float(np.abs(diffs).mean()) if n > 1 else 0.0
     # outliers relative to the 95th percentile of FOR offsets (ref :231-241)
-    offs = v.view(np.uint64) - np.int64(mn).astype(np.uint64)
-    p95 = np.percentile(sample.view(np.uint64) - np.int64(mn).astype(np.uint64), 95)
+    if offs is None:
+        offs = v.view(np.uint64) - np.int64(mn).astype(np.uint64)
+    sample_offs = offs[::10] if n > SAMPLE_THRESHOLD else offs
+    p95 = np.percentile(sample_offs, 95)
     outlier_ratio = float(np.count_nonzero(offs.astype(np.float64) > max(p95, 1.0) * 4) / n)
     return IntStats(n, mn, mx, is_sorted, unique_ratio, run_ratio, avg_delta, outlier_ratio)
 
@@ -160,7 +169,8 @@ _INT_SIZERS = {
 def encode_int_block(values: np.ndarray, stats: IntStats | None = None,
                      is_f64_bits: bool = False,
                      segments: np.ndarray | None = None,
-                     allow_dod: bool = True) -> bytes:
+                     allow_dod: bool = True,
+                     zz_sizes: np.ndarray | None = None) -> bytes:
     """int64 array -> self-describing block, cost-gated.
 
     The cost gate uses **exact analytic sizes** (each codec's
@@ -168,41 +178,95 @@ def encode_int_block(values: np.ndarray, stats: IntStats | None = None,
     bytes), so only the winning codec is actually encoded — the stats pass
     + size sweep is the engine's ``varintAdaptiveAnalyze``, the argmin is
     ``varintAdaptiveSelectEncoding``, with exact costs instead of the
-    reference's heuristic thresholds."""
+    reference's heuristic thresholds.
+
+    The shared intermediates (diff stream, FOR offsets, zigzag planes) are
+    computed ONCE here and threaded through the stats pass and every
+    sizer — previously each sizer recomputed its own copies, which at
+    ~10 sizer passes per chunk dominated the int-column encode profile.
+    ``zz_sizes``: optional precomputed ``leb128.encoded_sizes(zigzag(v))``
+    (the engine already builds it for the varint_bytes bookkeeping)."""
     v = np.ascontiguousarray(values, dtype=np.int64)
     n = len(v)
     if n == 0:
         return blocks.pack_block(PLAIN_INT, 0, b"")
-    s = stats or analyze_ints(v)
+    # shared intermediates — one pass each, reused by stats + sizers
+    with np.errstate(over="ignore"):
+        deltas_p = np.empty(n, dtype=np.int64)
+        deltas_p[0] = v[0]
+        if n > 1:
+            np.subtract(v[1:], v[:-1], out=deltas_p[1:])  # wrap == np.diff
+    diffs = deltas_p[1:]
+    mn, mx = int(v.min()), int(v.max())
+    offs = v.view(np.uint64) - np.int64(mn).astype(np.uint64)
+    s = stats or analyze_ints(v, diffs=diffs, mn=mn, mx=mx, offs=offs)
+    zzv: np.ndarray | None = None  # lazy zigzag(v)
     # floors always compete: varint stream (reference-faithful) and plain
     best_id, best_size = PLAIN_INT, 8 * n
     cands = candidate_int_codecs(s)
     if is_f64_bits:
         cands = [F64_XOR, *cands]  # float-aware candidate (Gorilla XOR)
     for cid in (*cands, LEB128_ZZ):
-        size = _INT_SIZERS[cid](v)
+        if cid == LEB128_ZZ:
+            if zz_sizes is None:
+                if zzv is None:
+                    zzv = zigzag.encode(v)
+                zz_sizes = leb128.encoded_sizes(zzv)
+            size = int(zz_sizes.sum())
+        elif cid == DELTA:
+            size = delta.encoded_size(v, deltas=deltas_p)
+        elif cid == FOR:
+            size = foref.encoded_size(v, mn_offs=(mn, offs))
+        elif cid == PFOR:
+            size = pfor.encoded_size(v, mn_offs=(mn, offs))
+        elif cid == RLE_INT:
+            starts = np.concatenate(
+                [[0], np.flatnonzero(diffs != 0) + 1]).astype(np.int64)
+            size = rle.encoded_size(v, starts=starts)
+        elif cid == ELIAS_GAMMA:
+            if zzv is None:
+                zzv = zigzag.encode(v)
+            size = elias.encoded_size(v, zz=zzv)
+        elif cid == ELIAS_DELTA:
+            if zzv is None:
+                zzv = zigzag.encode(v)
+            size = elias.encoded_size_delta_code(v, zz=zzv)
+        elif cid == DELTA_GAMMA:
+            size = elias.encoded_size_delta(v, zzd=zigzag.encode(diffs))
+        else:
+            size = _INT_SIZERS[cid](v)
         if size < best_size:
             best_id, best_size = cid, size
     # built candidates: their nested stream re-enters the selector, so the
     # choice isn't analytically sizable — build and compare actual bytes
     built: bytes | None = None
-    if allow_dod and s.is_sorted and n >= 4 and dod.varint_floor(v) < best_size * 2:
+    if allow_dod and s.is_sorted and n >= 4:
         # delta-of-delta (reference examples/integration/delta_compression.c,
         # examples/reference/timeseries_db.c:240-320): regular-cadence
         # streams collapse the second derivative to ~0, which the nested
         # selection RLEs far below any analytic candidate. The GCD-scaled
         # varint floor pre-filter (an upper bound on the nested block up to
         # its ~3-byte header) skips the build when DoD can't plausibly win.
-        cand = dod.encode(v, encode_int_block=_encode_int_block_nested)
-        if len(cand) < best_size:
-            best_id, best_size, built = DOD, len(cand), cand
+        prepared = dod.prepare(v, deltas=deltas_p)
+        if prepared[0] < best_size * 2:
+            cand = dod.encode(v, encode_int_block=_encode_int_block_nested,
+                              prepared=prepared)
+            if len(cand) < best_size:
+                best_id, best_size, built = DOD, len(cand), cand
     if segments is not None and 0 < len(segments) < n and best_size > n // 2:
         # segment-aware delta. Skipped when the winner is already under
         # ~0.5 B/value — seg-delta can't meaningfully beat that.
         cand = segdelta.encode(v, segments, encode_int_block=_encode_int_block_nested)
         if len(cand) < best_size:
             best_id, best_size, built = SEG_DELTA, len(cand), cand
-    payload = built if built is not None else _INT_ENCODERS[best_id](v)
+    if built is not None:
+        payload = built
+    elif best_id == DELTA:
+        payload = delta.encode(v, deltas=deltas_p)
+    elif best_id == LEB128_ZZ and zzv is not None:
+        payload = leb128.encode(zzv)
+    else:
+        payload = _INT_ENCODERS[best_id](v)
     return blocks.pack_block(best_id, n, payload)
 
 
@@ -243,20 +307,21 @@ def byte_entropy(plane: np.ndarray) -> float:
     return float(-(p * np.log2(p)).sum())
 
 
-def conditional_byte_entropy(plane: np.ndarray) -> float:
+def conditional_byte_entropy(plane: np.ndarray, h1: float | None = None) -> float:
     """H(next byte | previous byte) from bigram counts — the FSST signal
     proper: a byte-pair symbol table mines exactly the pair structure this
     measures. ≈ the unigram entropy ⇒ the next byte is unpredictable from
     the previous one and no symbol table can win. (Estimates are biased
     low on undersampled corpora — the gate requires a minimum corpus size
-    before trusting it.)"""
+    before trusting it.) ``h1``: optional precomputed
+    :func:`byte_entropy` of the same plane (saves a bincount pass)."""
     if len(plane) < 2:
         return 0.0
     pairs = plane[:-1].astype(np.int32) * 256 + plane[1:]
     counts = np.bincount(pairs, minlength=65536)
     p = counts[counts > 0] / (len(plane) - 1)
     h2 = float(-(p * np.log2(p)).sum())
-    return h2 - byte_entropy(plane)
+    return h2 - (h1 if h1 is not None else byte_entropy(plane))
 
 
 def analyze_strings(lengths: np.ndarray, arr: pa.Array,
@@ -273,7 +338,7 @@ def analyze_strings(lengths: np.ndarray, arr: pa.Array,
         nbytes = len(corpus)
         cs = corpus[:1 << 20]  # 1 MB sample is plenty
         ent = byte_entropy(cs)
-        cond = conditional_byte_entropy(cs)
+        cond = conditional_byte_entropy(cs, h1=ent)
     return StrStats(n, unique_ratio, float(lengths.mean()), ent, cond, nbytes)
 
 
@@ -376,7 +441,9 @@ def encode_column(values: pa.Array, kind: str, shared_col=None,
                   segments: np.ndarray | None = None,
                   fsst_cache: dict | None = None, cache_key: str = "",
                   f64_precision: str | None = None,
-                  f32_precision: str | None = None) -> bytes:
+                  f32_precision: str | None = None,
+                  dense_np: np.ndarray | None = None,
+                  zz_sizes: np.ndarray | None = None) -> bytes:
     """Arrow array (int64/large_utf8/list<float>, possibly with nulls) ->
     block bytes.
 
@@ -388,31 +455,42 @@ def encode_column(values: pa.Array, kind: str, shared_col=None,
     with the given precision mode instead of the lossless cost gate
     (reference varintFloatEncode modes, src/varintFloat.h:27-114).
     ``f32_precision`` is the same opt-in for kind='f32list' embedding
-    columns ('medium'/'low'; None = bit-exact)."""
+    columns ('medium'/'low'; None = bit-exact).
+
+    ``dense_np``/``zz_sizes``: optional precomputed dense int64 values and
+    their zigzag-LEB128 byte sizes — the engine already materializes both
+    for the zone stats and varint_bytes bookkeeping; passing them here
+    skips the duplicate Arrow->numpy conversion and sizing pass."""
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
 
-    def _enc_int(dense_np: np.ndarray, segs) -> bytes:
+    def _enc_int(dense: np.ndarray, segs) -> bytes:
         if kind == "f64" and f64_precision is not None:
-            return f64lossy.encode_block(dense_np, f64_precision)
-        return encode_int_block(dense_np, is_f64_bits=(kind == "f64"), segments=segs)
+            return f64lossy.encode_block(dense, f64_precision)
+        return encode_int_block(dense, is_f64_bits=(kind == "f64"),
+                                segments=segs, zz_sizes=zz_sizes)
 
     if values.null_count:
         valid = ~np.asarray(values.is_null())
-        dense = values.drop_null()
         if kind == "str":
-            inner = encode_str_block(dense, shared_col, fsst_cache, cache_key)
+            inner = encode_str_block(values.drop_null(), shared_col,
+                                     fsst_cache, cache_key)
         elif kind == "f32list":
-            inner = matrix.encode_block(dense, f32_precision)
+            inner = matrix.encode_block(values.drop_null(), f32_precision)
         else:
+            if dense_np is None:
+                dense_np = values.drop_null().to_numpy(
+                    zero_copy_only=False).astype(np.int64)
             # segments don't survive null-stripping; drop them (rare path)
-            inner = _enc_int(dense.to_numpy(zero_copy_only=False).astype(np.int64), None)
+            inner = _enc_int(dense_np, None)
         return _wrap_nullable(valid, inner)
     if kind == "str":
         return encode_str_block(values, shared_col, fsst_cache, cache_key)
     if kind == "f32list":
         return matrix.encode_block(values, f32_precision)
-    return _enc_int(values.to_numpy(zero_copy_only=False).astype(np.int64), segments)
+    if dense_np is None:
+        dense_np = values.to_numpy(zero_copy_only=False).astype(np.int64)
+    return _enc_int(dense_np, segments)
 
 
 def decode_column(buf: bytes | memoryview, shared_col=None) -> pa.Array:
