@@ -177,6 +177,48 @@ def test_topk_scattered_layout_still_exact(spark):
         topk_prune(blocks, "v", 0)
 
 
+def test_topk_threshold_two_level_is_sound(spark):
+    """The two-level threshold never exceeds what an exact global walk
+    justifies (DESC: t ≤ t_exact keeps a superset of chunks), and topk
+    results stay exact on a layout where chunks interleave across parts."""
+    from varint_spark.aggregate import _topk_threshold, topk_blocks
+
+    n = 8192
+    df = spark.range(n).select(
+        F.col("id").alias("rid"),
+        F.concat(F.lit("u"), (F.col("id") % 7).cast("string")).alias("g"),
+        F.pmod(F.col("id") * 48271, F.lit(999983)).alias("v"))
+    opts = EncodeOptions(num_buckets=4, chunk_rows=256, salt_span=1 << 20,
+                         group_col="g", order_col="rid")
+    kinds = {"rid": "int64", "v": "int64"}
+    blocks = encode_transcripts(df.drop("g").withColumn(
+        "g", F.concat(F.lit("u"), (F.col("rid") % 7).cast("string"))),
+        opts, kinds={"rid": "int64", "g": "str", "v": "int64"}).cache()
+    meta = blocks.filter((F.col("column") == "v")
+                         & F.col("min_val").isNotNull()) \
+        .select("part_key", "chunk_id", "min_val", "max_val",
+                (F.col("count") - F.col("null_count")).alias("_nn"))
+    tot = meta.agg(F.sum("_nn")).collect()[0][0]
+    vals = sorted(r.v for r in df.select("v").collect())
+    for k in (1, 10, 500, 5 * n):
+        for desc in (True, False):
+            t = _topk_threshold(meta, k, desc).collect()[0].t
+            assert t is not None, (k, desc)
+            # soundness: chunks dropped by t have ALL values beyond t, so
+            # ≥ min(k, total) values within t must exist for top-k to be
+            # answerable from the kept chunks alone
+            if desc:
+                n_within = sum(1 for v in vals if v >= t)
+            else:
+                n_within = sum(1 for v in vals if v <= t)
+            assert n_within >= min(k, tot), (k, desc, t, n_within)
+    got = [r.v for r in topk_blocks(
+        blocks, "v", 50, "rid long, g string, v long",
+        {"rid": "int64", "g": "str", "v": "int64"}).collect()]
+    want = [r.v for r in df.orderBy(F.col("v").desc()).limit(50).collect()]
+    assert got == want
+
+
 def test_groupby_agg_from_metadata(spark):
     """Clustered layout: single-group chunks aggregate from metadata,
     boundary chunks decode, and the fold equals the plain GROUP BY."""

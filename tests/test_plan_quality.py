@@ -207,6 +207,34 @@ def test_groupby_pushdown_decodes_only_boundary_chunks(spark):
     assert n_boundary <= 4, n_boundary  # 4 groups -> ≤ 3 boundaries (+1 slack)
 
 
+def test_topk_threshold_no_single_task_chunk_walk(spark):
+    """The top-k threshold walk is two-level (VERDICT r6 #2): per-chunk
+    metadata only ever crosses an Exchange hashpartitioning(part_key) for
+    the distributed per-part window; every Exchange SinglePartition in the
+    plan sits ABOVE a part_key aggregation, i.e. carries part-count rows,
+    never chunk-count rows."""
+    from pyspark.sql import functions as F
+    from varint_spark.aggregate import _topk_threshold
+
+    df = spark.range(4096).select(
+        F.col("id").alias("rid"), F.lit("g").alias("g"),
+        F.pmod(F.col("id") * 40503, F.lit(999983)).alias("v"))
+    opts = EncodeOptions(num_buckets=4, chunk_rows=256, salt_span=1 << 20,
+                         group_col="g", order_col="rid")
+    blocks = encode_transcripts(df, opts, kinds={"rid": "int64", "v": "int64"})
+    meta = blocks.filter((F.col("column") == "v")
+                         & F.col("min_val").isNotNull()) \
+        .select("part_key", "chunk_id", "min_val", "max_val",
+                (F.col("count") - F.col("null_count")).alias("_nn"))
+    plan = _plan(_topk_threshold(meta, 25, descending=True))
+    assert "hashpartitioning(part_key" in plan, plan
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            below = "\n".join(lines[i + 1:])
+            assert "keys=[part_key" in below, (ln, plan)
+
+
 def test_delete_where_is_shuffle_free_and_scans_one_column(spark, tmp_path_factory):
     """DV build = mapInArrow over the predicate column's block rows:
     no Exchange anywhere, and the column filter reaches the parquet

@@ -292,6 +292,49 @@ def approx_distinct_blocks(blocks: DataFrame,
         .groupBy("column").applyInArrow(final, "column string, approx_distinct long")
 
 
+def _topk_threshold(meta: DataFrame, k: int, descending: bool) -> DataFrame:
+    """One-row threshold DataFrame for :func:`topk_prune` — the two-level
+    replacement for the old global single-task Window over every chunk
+    metadata row (at 100 TB that walk pulled 10⁷-10⁸ rows through one
+    task; VERDICT r6 #2).
+
+    Level 1 — per part_key (distributed window): walk that part's chunks
+    in guard order accumulating non-null counts. A part that reaches k by
+    itself justifies its own cut T_p (its kept prefix alone holds ≥ k
+    values ≥ T_p), so max(T_p) over such parts is a sound threshold.
+    Level 2 — across parts: treat each part as a super-chunk whose guard
+    is its weakest chunk guard (every value in the part is ≥ it, DESC
+    case) and run the same prefix walk over the PART summaries — P rows,
+    the only thing that ever crosses a single-partition Exchange.
+    The final threshold is the stronger of the two; both only ever keep
+    extra chunks relative to an exact global walk, so topk results are
+    unchanged."""
+    g = F.col("_g")
+    guard = F.col("min_val") if descending else F.col("max_val")
+    order = g.desc() if descending else g.asc()
+    pick = F.min if descending else F.max
+    best = F.max if descending else F.min
+    w1 = Window.partitionBy("part_key").orderBy(order) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    walked = meta.select("part_key", guard.alias("_g"), "_nn") \
+        .withColumn("_cum", F.coalesce(F.sum("_nn").over(w1), F.lit(0)))
+    per_part = walked.groupBy("part_key").agg(
+        pick(F.when(F.col("_cum") < k, g)).alias("_tp"),
+        (F.max(F.col("_cum") + F.col("_nn")) >= k).alias("_reached"),
+        F.sum("_nn").alias("_np"),
+        pick(g).alias("_mp"))
+    t1 = per_part.filter("_reached").agg(best("_tp").alias("t1"))
+    w2 = Window.orderBy(F.col("_mp").desc() if descending
+                        else F.col("_mp").asc()) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    t2 = per_part.select("_mp", "_np") \
+        .withColumn("_cum", F.coalesce(F.sum("_np").over(w2), F.lit(0))) \
+        .filter(F.col("_cum") < k) \
+        .agg(pick("_mp").alias("t2"))
+    comb = F.greatest("t1", "t2") if descending else F.least("t1", "t2")
+    return t1.crossJoin(t2).select(comb.alias("t"))
+
+
 def topk_prune(blocks: DataFrame, column: str, k: int,
                descending: bool = True,
                deletes: DataFrame | None = None) -> DataFrame:
@@ -308,9 +351,14 @@ def topk_prune(blocks: DataFrame, column: str, k: int,
     chunks; on a fully scattered layout everything survives and the
     answer is still exact — pruning is an optimization, never a filter.
 
-    The threshold walk runs on CHUNK-count metadata rows (one tiny
-    single-partition window + a one-value collect — same budget as
-    zone-map min/max planning); NULL-stat chunks (string/f64) are kept.
+    The threshold is computed TWO-LEVEL (:func:`_topk_threshold`): a
+    per-part_key prefix walk (distributed window — chunk metadata never
+    crosses a single-partition Exchange), then one walk over the
+    part-count summaries. Both levels yield SOUND thresholds (≤ what a
+    global walk could justify keeps extra chunks, never drops a
+    contributor), and on the engine's clustered layout the per-part level
+    matches the old global walk's pruning power. NULL-stat chunks
+    (string/f64) are kept.
     """
     if k <= 0:
         raise ValueError("k must be ≥ 1")
@@ -331,17 +379,7 @@ def topk_prune(blocks: DataFrame, column: str, k: int,
                 F.col("_nn") - F.coalesce(F.col("_nd"), F.lit(0)),
                 F.lit(0))) \
             .drop("_nd")
-    guard_col = F.col("min_val") if descending else F.col("max_val")
-    order = guard_col.desc() if descending else guard_col.asc()
-    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
-    # first chunk where the PRECEDING prefix already holds ≥ k values is
-    # the cut; T = that prefix's weakest guarantee
-    cut = meta.select(guard_col.alias("_g"),
-                      F.coalesce(F.sum("_nn").over(w), F.lit(0)).alias("_cum")) \
-        .filter(F.col("_cum") < k) \
-        .agg((F.min("_g") if descending else F.max("_g")).alias("t")) \
-        .collect()[0]
-    t = cut.t
+    t = _topk_threshold(meta, k, descending).collect()[0].t
     if t is None:  # no chunks with stats: keep everything
         return blocks
     if descending:
