@@ -148,3 +148,22 @@ def test_vacuum_reclaims_crashed_overlay(spark, tmp_path):
     assert os.path.exists(f"{root}/overlays/{ok['commit']:06d}")
     pd.testing.assert_frame_equal(_pdf(read_snapshot(spark, root, DDL)),
                                   before)
+
+
+def test_gate_commits_plan_stays_bounded(spark):
+    """The manifested-commit gate must not inline every commit id into
+    the plan (O(total commits) planning work on long-lived stores —
+    ADVICE r6): a contiguous prefix gates as one range predicate, only
+    the out-of-order tail (crashed-id gaps) lands in an isin()."""
+    from varint_spark.lineage import _gate_commits
+
+    df = spark.range(12000).select(F.col("id").alias("commit"))
+    # 10k contiguous commits -> no isin at all, plan stays flat
+    plan = _gate_commits(df, set(range(1, 10_001))) \
+        ._jdf.queryExecution().analyzed().toString()
+    assert "10000" in plan and plan.count(",") < 50, plan[:2000]
+    # gap at 5 (crashed id): range over 1..4 + isin of just the tail
+    got = sorted(r.commit for r in _gate_commits(
+        df.filter("commit <= 12"),
+        {1, 2, 3, 4, 6, 7}).collect())
+    assert got == [0, 1, 2, 3, 4, 6, 7]

@@ -61,7 +61,13 @@ def read_lineage(spark: SparkSession, root: str) -> DataFrame | None:
 
 
 def read_blocks(spark: SparkSession, root: str) -> DataFrame:
-    return spark.read.parquet(str(Path(root) / "blocks"))
+    # mergeSchema for the same reason read_lineage has it: an r6+ resume
+    # append into an older store mixes block files with and without the
+    # r6 stat columns (sum_val/bloom/hll), and footer sampling could
+    # otherwise drop them nondeterministically, breaking the stats-
+    # dependent readers (aggregate_blocks, prune_chunks_bloom) — ADVICE r6
+    return spark.read.option("mergeSchema", "true") \
+        .parquet(str(Path(root) / "blocks"))
 
 
 # --- commit manifests: crash-atomic multi-file commits ---------------------
@@ -119,11 +125,24 @@ def _ensure_manifests(spark: SparkSession, root: str) -> None:
 
 def _gate_commits(df: DataFrame, allowed: set[int] | None) -> DataFrame:
     """Keep rows whose commit id is manifested (commit 0 — the
-    pre-manifest epoch — always passes)."""
+    pre-manifest epoch — always passes).
+
+    The predicate is a RANGE over the contiguous manifested prefix plus
+    an isin() of only the out-of-order tail (ids above the first gap —
+    crashed ids never reused, so the tail is empty or tiny). Inlining
+    every id (r6) grew the plan O(total commits) for the lifetime of the
+    table: a streaming store at one commit per micro-batch degraded every
+    snapshot read's planning time — ADVICE r6."""
     if allowed is None:
         return df
-    return df.filter((F.col("commit") == 0) |
-                     F.col("commit").isin([int(x) for x in allowed]))
+    hi = 0
+    while (hi + 1) in allowed:
+        hi += 1
+    cond = F.col("commit") <= hi  # covers the pre-manifest epoch 0 too
+    extras = sorted(int(x) for x in allowed if x > hi)
+    if extras:
+        cond = cond | F.col("commit").isin(extras)
+    return df.filter(cond)
 
 
 def encode_checkpointed(df: DataFrame, root: str,
