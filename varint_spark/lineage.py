@@ -61,13 +61,23 @@ def read_lineage(spark: SparkSession, root: str) -> DataFrame | None:
 
 
 def read_blocks(spark: SparkSession, root: str) -> DataFrame:
-    # mergeSchema for the same reason read_lineage has it: an r6+ resume
-    # append into an older store mixes block files with and without the
-    # r6 stat columns (sum_val/bloom/hll), and footer sampling could
-    # otherwise drop them nondeterministically, breaking the stats-
-    # dependent readers (aggregate_blocks, prune_chunks_bloom) — ADVICE r6
-    return spark.read.option("mergeSchema", "true") \
-        .parquet(str(Path(root) / "blocks"))
+    # Schema-drift guard (ADVICE r6): an r6+ resume append into an older
+    # store mixes block files with and without the r6 stat columns
+    # (sum_val/bloom/hll); footer SAMPLING may pick an old file and drop
+    # the new columns nondeterministically, breaking the stats-dependent
+    # readers (aggregate_blocks, prune_chunks_bloom). Pay the full
+    # mergeSchema footer scan ONLY when the sampled schema is actually
+    # missing engine columns — a uniform store (the overwhelmingly common
+    # case) costs nothing extra; a mixed store reads every footer once
+    # and old files null-fill the new stat columns (the same semantics a
+    # chunk without sidecars already has).
+    from .engine import BLOCK_SCHEMA_DDL
+    p = str(Path(root) / "blocks")
+    df = spark.read.parquet(p)
+    want = [f.strip().split()[0] for f in BLOCK_SCHEMA_DDL.split(",")]
+    if any(c not in df.columns for c in want):
+        df = spark.read.option("mergeSchema", "true").parquet(p)
+    return df
 
 
 # --- commit manifests: crash-atomic multi-file commits ---------------------
@@ -178,26 +188,29 @@ def encode_checkpointed(df: DataFrame, root: str,
             on="_part_key", how="left_anti",
         )
     pending = keyed.drop("_part_key", "_bucket", "_salt")
-    blocks = encode_transcripts(pending, opts, kinds=kinds, shared=shared)
-
-    blocks_dir = str(Path(root) / "blocks")
-    (
-        blocks.withColumn("pk", F.col("part_key"))
-        .write.mode("overwrite")
-        .partitionBy("pk")
-        .parquet(blocks_dir)
-    )
-    # commit lineage only after the block write succeeded
-    new_blocks = spark.read.parquet(blocks_dir)
-    if lin is not None:
-        new_blocks = new_blocks.join(
-            F.broadcast(lin.select("part_key").distinct()), on="part_key", how="left_anti"
+    blocks = encode_transcripts(pending, opts, kinds=kinds, shared=shared).cache()
+    try:
+        blocks_dir = str(Path(root) / "blocks")
+        (
+            blocks.withColumn("pk", F.col("part_key"))
+            .write.mode("overwrite")
+            .partitionBy("pk")
+            .parquet(blocks_dir)
         )
-    commit = next_commit(spark, root)
-    new_lineage = lineage_summary(new_blocks).withColumn("commit", F.lit(commit))
-    new_lineage.write.mode("append").parquet(str(Path(root) / "lineage"))
-    done_now = new_lineage.select("part_key").distinct().count()
-    _write_manifest(root, commit)
+        # commit lineage only after the block write succeeded. The summary
+        # comes from THIS RUN's cached block rows, not a read-back of the
+        # whole store: the r6 read-back + anti-join re-scanned every file
+        # ever committed on each commit (O(store) per commit at scale) and
+        # could resurrect orphan partitions of a crashed run that the
+        # current input no longer covers. Cached bytes == written bytes by
+        # the block-determinism invariant, so the lineage is exact.
+        commit = next_commit(spark, root)
+        new_lineage = lineage_summary(blocks).withColumn("commit", F.lit(commit))
+        new_lineage.write.mode("append").parquet(str(Path(root) / "lineage"))
+        done_now = new_lineage.select("part_key").distinct().count()
+        _write_manifest(root, commit)
+    finally:
+        blocks.unpersist()
     return {"partitions_encoded": done_now, "partitions_skipped": skipped,
             "commit": commit}
 

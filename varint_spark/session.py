@@ -21,6 +21,15 @@ def get_spark(app: str = "varint_spark", master: str | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Partition discovery: below this many dirs the driver lists
+        # directly instead of launching a distributed listing job. The
+        # default (32) made every read of a partitioned block store run a
+        # one-task-per-directory Spark job (784 tasks for the time-travel
+        # store — a full scheduler wave per read). A few thousand dirs is
+        # comfortably driver-side even on object stores; stores beyond
+        # SPARK_GRAFT_LISTING_THRESHOLD dirs still get the parallel job.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+                os.environ.get("SPARK_GRAFT_LISTING_THRESHOLD", "4096"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
     )
