@@ -289,7 +289,7 @@ def _q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                          group_col="g", order_col="event_id",
                          bloom_cols=("tag",))
     kinds = {"event_id": "int64", "tag": "str"}
-    blocks = encode_transcripts(ev, opts, kinds=kinds)
+    blocks = encode_transcripts(ev, opts, kinds=kinds).cache()
     probe = f"u{(7 * 2654435761) % 1000003}"  # tag of event_id 7
     pruned = prune_chunks_bloom(blocks, "tag", probe, kind="str")
     return decode_blocks(pruned, "event_id long, tag string",
@@ -340,7 +340,7 @@ def _q_random_access_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     opts = EncodeOptions(num_buckets=16, chunk_rows=2048, salt_span=2**40,
                          group_col="user_id", order_col="event_id")
-    blocks = encode_transcripts(ev, opts)
+    blocks = encode_transcripts(ev, opts).cache()
     us = F.unix_micros(F.to_timestamp("ts"))
     mn, mx = ev.agg(F.min(us), F.max(us)).first()
     mid = (mn + mx) // 2
@@ -367,7 +367,7 @@ def _q_predicate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     opts = EncodeOptions(num_buckets=16, chunk_rows=2048, salt_span=2**40,
                          group_col="user_id", order_col="event_id")
-    blocks = encode_transcripts(ev, opts)
+    blocks = encode_transcripts(ev, opts).cache()
     us = F.unix_micros(F.to_timestamp("ts"))
     mn, mx = ev.agg(F.min(us), F.max(us)).first()
     mid = (mn + mx) // 2
@@ -389,7 +389,7 @@ def _q_predicate_pushdown_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     opts = EncodeOptions(num_buckets=16, chunk_rows=2048, salt_span=2**40,
                          group_col="user_id", order_col="event_id")
-    blocks = encode_transcripts(ev, opts)
+    blocks = encode_transcripts(ev, opts).cache()
     us = F.unix_micros(F.to_timestamp("ts"))
     mn, mx = ev.agg(F.min(us), F.max(us)).first()
     lo, hi = mn + (mx - mn) // 4, mn + (mx - mn) // 2
@@ -557,7 +557,7 @@ def _q_str_zone_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "text")
     opts = EncodeOptions(num_buckets=8, chunk_rows=2048, salt_span=2**40,
                          group_col="source", order_col="doc_id")
-    blocks = prune_chunks_str(encode_transcripts(docs, opts),
+    blocks = prune_chunks_str(encode_transcripts(docs, opts).cache(),
                               "source", prefix="src1")
     return decode_blocks_where(blocks, "doc_id bigint, source string",
                                "source", None, columns=["doc_id", "source"],
@@ -1126,7 +1126,7 @@ def _q_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     opts = EncodeOptions(num_buckets=4, chunk_rows=2048, salt_span=1 << 30,
                          group_col="user_id", order_col="event_id")
     kinds = {"event_id": "int64", "user_id": "int64", "ts": "tsntz"}
-    blocks = encode_transcripts(ev, opts, kinds=kinds)
+    blocks = encode_transcripts(ev, opts, kinds=kinds).cache()
     return aggregate_blocks(blocks, ["event_id", "user_id"], kinds)
 
 
@@ -1147,7 +1147,7 @@ def _q_groupby_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     opts = EncodeOptions(num_buckets=4, chunk_rows=64, salt_span=1 << 30,
                          group_col="user_id", order_col="event_id")
     kinds = {"event_id": "int64", "user_id": "int64"}
-    blocks = encode_transcripts(ev, opts, kinds=kinds)
+    blocks = encode_transcripts(ev, opts, kinds=kinds).cache()
     return groupby_agg_blocks(blocks, "user_id", "event_id", kinds)
 
 
@@ -1198,7 +1198,7 @@ def _q_topk_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     opts = EncodeOptions(num_buckets=4, chunk_rows=1024, salt_span=1 << 30,
                          group_col="user_id", order_col="event_id")
     kinds = {"event_id": "int64", "user_id": "int64", "ts": "tsntz"}
-    blocks = encode_transcripts(ev, opts, kinds=kinds)
+    blocks = encode_transcripts(ev, opts, kinds=kinds).cache()
     return topk_blocks(blocks, "event_id", 100,
                        "event_id long, user_id long, ts timestamp_ntz",
                        kinds=kinds)
@@ -1397,7 +1397,7 @@ def _q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     opts = EncodeOptions(num_buckets=8, chunk_rows=1024, salt_span=2**60,
                          group_col="_zb", order_col="_z")
     kinds = {"event_id": "int64", "ts": "tsntz", "user_id": "int64"}
-    blocks = encode_transcripts(zdf, opts, kinds=kinds)
+    blocks = encode_transcripts(zdf, opts, kinds=kinds).cache()
     lo_ts = 1704672000 * 1_000_000  # 2024-01-08 UTC, epoch-µs
     hi_ts = 1705536000 * 1_000_000  # 2024-01-18 UTC
     pruned = prune_chunks(prune_chunks(blocks, "user_id", 10, 60),
