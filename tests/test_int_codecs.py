@@ -447,3 +447,51 @@ def test_dod_random_access_fallback():
     assert ra.get_at(blk, 4095) == int(v[4095])
     np.testing.assert_array_equal(ra.get_range(blk, 100, 7), v[100:107])
     np.testing.assert_array_equal(ra.filter_ge(blk, int(v[2000])), v >= v[2000])
+
+
+def test_sizers_shared_context_matches_standalone():
+    """The r7 selector computes diff/offset/zigzag planes once and passes
+    them to the sizers; the precomputed-arg forms must stay exactly equal
+    to the standalone formulas on every regime, or the cost gate's
+    exact-size contract silently drifts."""
+    from varint_spark.codecs import (delta, dod, elias, foref, leb128, pfor,
+                                     rle, varint, zigzag)
+    from varint_spark.codecs.foref import _offsets
+
+    rng = np.random.default_rng(11)
+    n = 4096
+    regimes = {
+        "seq": np.arange(n, dtype=np.int64) * 3 + 7,
+        "noise": rng.integers(-2**62, 2**62, n),
+        "outliers": np.where(rng.random(n) < 0.01,
+                             rng.integers(0, 2**50, n),
+                             rng.integers(0, 100, n)).astype(np.int64),
+        "runs": np.repeat(rng.integers(0, 5, 64), n // 64).astype(np.int64),
+        "octaves": (np.int64(1) << rng.integers(0, 62, n).astype(np.int64)),
+        "negative": -rng.integers(0, 2**40, n),
+        "extreme": np.where(np.arange(n) % 977 == 0, -2**63,
+                            np.arange(n) % 17).astype(np.int64),
+    }
+    for name, v in regimes.items():
+        v = np.ascontiguousarray(v, dtype=np.int64)
+        with np.errstate(over="ignore"):
+            deltas_p = np.diff(v, prepend=np.int64(0))
+        diffs = deltas_p[1:]
+        zzv = zigzag.encode(v)
+        zz_sizes = leb128.encoded_sizes(zzv)
+        mo = _offsets(v)
+        starts = np.concatenate([[0], np.flatnonzero(diffs != 0) + 1]).astype(np.int64)
+        assert varint.encoded_size(v) == varint.encoded_size(v, zz_sizes=zz_sizes), name
+        assert delta.encoded_size(v) == delta.encoded_size(v, deltas=deltas_p), name
+        assert delta.encode(v) == delta.encode(v, deltas=deltas_p), name
+        assert foref.encoded_size(v) == foref.encoded_size(v, mn_offs=mo), name
+        assert pfor.encoded_size(v) == pfor.encoded_size(v, mn_offs=mo), name
+        assert rle.encoded_size(v) == rle.encoded_size(v, starts=starts), name
+        assert elias.encoded_size(v) == elias.encoded_size(v, zz=zzv), name
+        assert elias.encoded_size_delta_code(v) == \
+            elias.encoded_size_delta_code(v, zz=zzv), name
+        assert elias.encoded_size_delta(v) == \
+            elias.encoded_size_delta(v, zzd=zigzag.encode(diffs)), name
+        prepared = dod.prepare(v, deltas=deltas_p)
+        assert prepared[0] == dod.varint_floor(v), name
+        assert dod.encode(v) == dod.encode(v, prepared=prepared), name
