@@ -228,6 +228,8 @@ def decompress(buf: memoryview | bytes) -> np.ndarray:
 
 def _expand(out: np.ndarray, tables: list) -> np.ndarray:
     for codes, sym_pairs in reversed(tables):
+        if len(out) == 0:
+            break
         expand0 = np.arange(256, dtype=np.uint8)  # identity for literals
         expand1 = np.zeros(256, dtype=np.uint8)
         is_sym = np.zeros(256, dtype=bool)
@@ -235,9 +237,13 @@ def _expand(out: np.ndarray, tables: list) -> np.ndarray:
         expand0[codes] = sym_pairs[:, 0]
         expand1[codes] = sym_pairs[:, 1]
         sym_mask = is_sym[out]
-        sizes = np.where(sym_mask, 2, 1).astype(np.int64)
-        offsets = np.concatenate([[0], np.cumsum(sizes[:-1])])
-        new = np.empty(int(sizes.sum()), dtype=np.uint8)
+        # output slot of input byte i = i + (#symbols before i): one int32
+        # rank cumsum instead of the where/int64-cumsum/concat pipeline
+        # (this loop is the decode hot spot — 64% of transcript decode)
+        ranks = np.cumsum(sym_mask, dtype=np.int32)
+        offsets = _idx32(len(out)) + ranks
+        offsets -= sym_mask
+        new = np.empty(len(out) + int(ranks[-1]), dtype=np.uint8)
         new[offsets] = expand0[out]
         new[offsets[sym_mask] + 1] = expand1[out[sym_mask]]
         out = new
