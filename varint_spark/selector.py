@@ -23,7 +23,7 @@ from dataclasses import dataclass
 import numpy as np
 import pyarrow as pa
 
-from .codecs import blocks, bitpack, bp128, delta, dict_codec, dod, elias, f64lossy, f64xor, foref, leb128, matrix, pfor, plain, rle, segdelta, strings, varint, zigzag
+from .codecs import blocks, bitpack, bp128, delta, dict_codec, dod, elias, f64lossy, f64xor, foref, fsst, leb128, matrix, pfor, plain, rle, segdelta, strings, varint, zigzag
 from .codecs.blocks import (
     BP128_DELTA, DELTA, DELTA_GAMMA, DICT_INT, DICT_STR, DICT_STR_SHARED, DOD, ELIAS_DELTA, ELIAS_GAMMA,
     F64_LOSSY, F64_XOR, FOR, FSST_STR,
@@ -32,6 +32,7 @@ from .codecs.blocks import (
 )
 
 SAMPLE_THRESHOLD = 10_000  # beyond this, sample every 10th value (ref :77-125)
+FSST_PROBE_BYTES = 32_768  # shared-path pre-probe sample (encode_str_block)
 
 
 # ---------------------------------------------------------------------------
@@ -395,6 +396,27 @@ def encode_str_block(values, shared_col=None, fsst_cache: dict | None = None,
             best_id == DICT_STR and s.unique_ratio > 0.01 and s.avg_len >= 4))
     if try_fsst:
         reuse = fsst_cache.get(cache_key) if fsst_cache is not None else None
+        if (reuse is None and best_id == FSST_STR_SHARED
+                and len(corpus) >= 4 * FSST_PROBE_BYTES):
+            # Sampled pre-probe. The broadcast tables already provide a
+            # compressed candidate; a full per-chunk retrain only pays off
+            # where the chunk's text diverges from the shared training
+            # sample (measured on the bench shape: 5 of 128 chunks — the
+            # hot conversations — but 13.5% of the text bytes, so the
+            # retrain cannot simply be skipped). Train on a deterministic
+            # prefix sample, extrapolate the local ratio, and run the full
+            # training only when the estimate beats the shared candidate
+            # by a clear margin; divergent chunks sail under 0.95 while
+            # in-distribution chunks estimate ≈ the shared size and skip.
+            probe = fsst.compress_parts(corpus[:FSST_PROBE_BYTES])
+            if probe is None:
+                try_fsst = False  # sample incompressible — local can't win
+            else:
+                est = (plain_size - len(corpus) + len(probe[0])
+                       + len(probe[1]) * (len(corpus) / FSST_PROBE_BYTES))
+                if est > best_len * 0.95:
+                    try_fsst = False
+    if try_fsst:
         res = strings.encode_fsst(arr, reuse_tables=reuse)
         if res is not None:
             cand, tables = res
